@@ -1,0 +1,574 @@
+"""Stateful scene-construction API driven by the parser.
+
+Mirrors the reference's pbrt* API surface and graphics-state stack
+(ref: src/core/api.cpp: pbrtAttributeBegin/End, CTM stack, RenderOptions,
+GraphicsState), but instead of building a C++ primitive DAG it flattens
+everything to world-space numpy arrays (triangle soup + analytic spheres +
+SoA material/light tables) ready for device upload — the TPU-native scene
+representation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..utils import transforms as xf
+from .paramset import ParamSet
+from . import shapes as shapelib
+
+MAT_NONE = 0
+MAT_MATTE = 1
+MAT_PLASTIC = 2
+MAT_MIRROR = 3
+MAT_GLASS = 4
+MAT_METAL = 5
+MAT_UBER = 6
+MAT_SUBSTRATE = 7
+MAT_TRANSLUCENT = 8
+MAT_DISNEY = 9
+MAT_FOURIER = 10
+
+MATERIAL_IDS = {
+    "": MAT_NONE,
+    "none": MAT_NONE,
+    "matte": MAT_MATTE,
+    "plastic": MAT_PLASTIC,
+    "mirror": MAT_MIRROR,
+    "glass": MAT_GLASS,
+    "metal": MAT_METAL,
+    "uber": MAT_UBER,
+    "substrate": MAT_SUBSTRATE,
+    "translucent": MAT_TRANSLUCENT,
+    "disney": MAT_DISNEY,
+    "fourier": MAT_FOURIER,
+}
+
+LIGHT_POINT = 0
+LIGHT_DISTANT = 1
+LIGHT_INFINITE = 2
+LIGHT_AREA_TRI = 3    # diffuse area light over a triangle range
+LIGHT_AREA_SPHERE = 4  # diffuse area light on an analytic sphere
+LIGHT_SPOT = 5
+
+
+@dataclasses.dataclass
+class MaterialRecord:
+    """SoA-able material description (ref: src/materials/*).
+
+    Color slots may reference a named texture; the builder resolves these
+    to texture table ids or bakes constants.
+    """
+    kind: int = MAT_MATTE
+    kd: np.ndarray = None          # diffuse reflectance
+    ks: np.ndarray = None          # glossy reflectance
+    kr: np.ndarray = None          # specular reflection
+    kt: np.ndarray = None          # specular transmission
+    roughness: float = 0.0         # plastic default .1? (handled at create)
+    uroughness: float = -1.0
+    vroughness: float = -1.0
+    eta: float = 1.5
+    metal_eta: np.ndarray = None   # spectral eta for metal
+    metal_k: np.ndarray = None
+    sigma: float = 0.0             # oren-nayar sigma (matte)
+    remap_roughness: bool = True
+    kd_tex: str = ""               # named texture refs (empty = constant)
+    ks_tex: str = ""
+    sigma_tex: str = ""
+    rough_tex: str = ""
+    bump_tex: str = ""
+
+
+@dataclasses.dataclass
+class LightRecord:
+    kind: int
+    L: np.ndarray                  # radiance/intensity RGB (scaled)
+    position: np.ndarray = None    # point/spot
+    direction: np.ndarray = None   # distant/spot axis
+    cos_total: float = -1.0        # spot cone
+    cos_falloff: float = -1.0
+    # area lights
+    two_sided: bool = False
+    tri_start: int = -1            # triangle range [start, start+count)
+    tri_count: int = 0
+    sphere_index: int = -1
+    map_name: str = ""             # infinite light env map
+
+
+@dataclasses.dataclass
+class TextureRecord:
+    name: str
+    kind: str                      # constant|scale|mix|checkerboard|imagemap|...
+    is_float: bool
+    params: ParamSet
+    uscale: float = 1.0
+    vscale: float = 1.0
+
+
+@dataclasses.dataclass
+class CameraDesc:
+    kind: str = "perspective"
+    cam_to_world: np.ndarray = dataclasses.field(default_factory=xf.identity)
+    fov: float = 90.0
+    lens_radius: float = 0.0
+    focal_distance: float = 1e6
+    screen_window: Optional[np.ndarray] = None
+    shutter_open: float = 0.0
+    shutter_close: float = 1.0
+
+
+@dataclasses.dataclass
+class FilmDesc:
+    x_resolution: int = 1280
+    y_resolution: int = 720
+    filename: str = "out.exr"
+    crop: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.array([0.0, 1.0, 0.0, 1.0])
+    )
+    scale: float = 1.0
+    diagonal: float = 35.0
+    filter_name: str = "box"
+    filter_xwidth: float = 0.5
+    filter_ywidth: float = 0.5
+    filter_alpha: float = 2.0
+    filter_b: float = 1.0 / 3.0
+    filter_c: float = 1.0 / 3.0
+    filter_tau: float = 3.0
+
+
+@dataclasses.dataclass
+class SamplerDesc:
+    kind: str = "halton"
+    pixel_samples: int = 16
+    jitter: bool = True
+    xsamples: int = 4
+    ysamples: int = 4
+
+
+@dataclasses.dataclass
+class IntegratorDesc:
+    kind: str = "path"
+    max_depth: int = 5
+    rr_threshold: float = 1.0
+    light_strategy: str = "spatial"
+    # directlighting
+    dl_strategy: str = "all"
+    # ao
+    cos_sample: bool = True
+    n_samples: int = 64
+
+
+class SceneDesc:
+    """Flat world-space scene: the output of parsing, pre-device."""
+
+    def __init__(self):
+        self.camera = CameraDesc()
+        self.film = FilmDesc()
+        self.sampler = SamplerDesc()
+        self.integrator = IntegratorDesc()
+        self.accelerator = "bvh"
+        # geometry: per-mesh blocks, concatenated by the builder
+        self.tri_blocks = []       # dicts: p (n,3,3), n, uv, mat, light
+        self.spheres = []          # dicts: center, radius, mat, light
+        self.materials: list[MaterialRecord] = [MaterialRecord(kind=MAT_MATTE,
+                                                               kd=np.full(3, 0.5))]
+        self.lights: list[LightRecord] = []
+        self.textures: dict[str, TextureRecord] = {}
+        self.named_materials: dict[str, int] = {}
+        self.n_triangles = 0
+
+    def add_triangles(self, p, n, uv, mat_id, light_id=-1):
+        cnt = p.shape[0]
+        if cnt == 0:
+            return self.n_triangles
+        start = self.n_triangles
+        self.tri_blocks.append(
+            dict(
+                p=p.astype(np.float32),
+                n=None if n is None else n.astype(np.float32),
+                uv=None if uv is None else uv.astype(np.float32),
+                mat=np.full(cnt, mat_id, dtype=np.int32),
+                light=np.full(cnt, light_id, dtype=np.int32),
+            )
+        )
+        self.n_triangles += cnt
+        return start
+
+
+class _GraphicsState:
+    def __init__(self):
+        self.material_index = 0
+        self.area_light: Optional[ParamSet] = None
+        self.reverse_orientation = False
+
+    def copy(self):
+        g = _GraphicsState()
+        g.material_index = self.material_index
+        g.area_light = self.area_light
+        g.reverse_orientation = self.reverse_orientation
+        return g
+
+
+class Api:
+    """Receives parsed directives; mirrors pbrt's api.cpp state machine."""
+
+    def __init__(self, base_dir: str = "."):
+        self.base_dir = base_dir
+        self.scene = SceneDesc()
+        self.ctm = xf.identity()
+        self.transform_stack = []
+        self.graphics_stack = []
+        self.gs = _GraphicsState()
+        self.in_world = False
+        self.coord_systems = {}
+        self.objects = {}           # name -> list of recorded shape calls
+        self.recording: Optional[str] = None
+        self.record_base_ctm = None
+
+    # ------------------------------------------------------------------
+    # transforms
+    def Identity(self):
+        self.ctm = xf.identity()
+
+    def Translate(self, dx, dy, dz):
+        self.ctm = self.ctm @ xf.translate(dx, dy, dz)
+
+    def Scale(self, sx, sy, sz):
+        self.ctm = self.ctm @ xf.scale(sx, sy, sz)
+
+    def Rotate(self, angle, x, y, z):
+        self.ctm = self.ctm @ xf.rotate(angle, x, y, z)
+
+    def LookAt(self, ex, ey, ez, lx, ly, lz, ux, uy, uz):
+        # world-to-camera gets concatenated (ref: api.cpp pbrtLookAt)
+        c2w = xf.look_at([ex, ey, ez], [lx, ly, lz], [ux, uy, uz])
+        self.ctm = self.ctm @ xf.inverse(c2w)
+
+    def Transform(self, *m16):
+        self.ctm = np.asarray(m16, dtype=np.float64).reshape(4, 4).T
+
+    def ConcatTransform(self, *m16):
+        self.ctm = self.ctm @ np.asarray(m16, dtype=np.float64).reshape(4, 4).T
+
+    def CoordinateSystem(self, name):
+        self.coord_systems[name] = self.ctm.copy()
+
+    def CoordSysTransform(self, name):
+        if name in self.coord_systems:
+            self.ctm = self.coord_systems[name].copy()
+
+    def TransformBegin(self):
+        self.transform_stack.append(self.ctm.copy())
+
+    def TransformEnd(self):
+        self.ctm = self.transform_stack.pop()
+
+    # ------------------------------------------------------------------
+    # pre-world options
+    def Camera(self, kind, ps: ParamSet):
+        cam = self.scene.camera
+        cam.kind = kind
+        # CTM at Camera statement is world-to-camera (ref: api.cpp pbrtCamera)
+        cam.cam_to_world = xf.inverse(self.ctm)
+        cam.fov = ps.find_one_float("fov", 90.0)
+        cam.lens_radius = ps.find_one_float("lensradius", 0.0)
+        cam.focal_distance = ps.find_one_float("focaldistance", 1e6)
+        sw = ps.find_floats("screenwindow")
+        if sw is not None and sw.size == 4:
+            cam.screen_window = sw
+        self.coord_systems["camera"] = self.ctm.copy()
+
+    def Film(self, kind, ps: ParamSet):
+        f = self.scene.film
+        f.x_resolution = ps.find_one_int("xresolution", 1280)
+        f.y_resolution = ps.find_one_int("yresolution", 720)
+        f.filename = ps.find_one_string("filename", "out.exr")
+        f.scale = ps.find_one_float("scale", 1.0)
+        f.diagonal = ps.find_one_float("diagonal", 35.0)
+        cw = ps.find_floats("cropwindow")
+        if cw is not None and cw.size == 4:
+            f.crop = cw
+
+    def Filter(self, kind, ps: ParamSet):
+        f = self.scene.film
+        f.filter_name = kind
+        defaults = {"box": 0.5, "triangle": 2.0, "gaussian": 2.0,
+                    "mitchell": 2.0, "sinc": 4.0}
+        d = defaults.get(kind, 2.0)
+        f.filter_xwidth = ps.find_one_float("xwidth", d)
+        f.filter_ywidth = ps.find_one_float("ywidth", d)
+        f.filter_alpha = ps.find_one_float("alpha", 2.0)
+        f.filter_b = ps.find_one_float("B", 1.0 / 3.0)
+        f.filter_c = ps.find_one_float("C", 1.0 / 3.0)
+        f.filter_tau = ps.find_one_float("tau", 3.0)
+
+    PixelFilter = Filter
+
+    def Sampler(self, kind, ps: ParamSet):
+        s = self.scene.sampler
+        s.kind = kind
+        s.pixel_samples = ps.find_one_int("pixelsamples", 16)
+        s.jitter = ps.find_one_bool("jitter", True)
+        s.xsamples = ps.find_one_int("xsamples", 4)
+        s.ysamples = ps.find_one_int("ysamples", 4)
+        if kind == "stratified":
+            s.pixel_samples = s.xsamples * s.ysamples
+
+    def Integrator(self, kind, ps: ParamSet):
+        i = self.scene.integrator
+        i.kind = kind
+        i.max_depth = ps.find_one_int("maxdepth", 5)
+        i.rr_threshold = ps.find_one_float("rrthreshold", 1.0)
+        i.light_strategy = ps.find_one_string("lightsamplestrategy", "spatial")
+        i.dl_strategy = ps.find_one_string("strategy", "all")
+        i.cos_sample = ps.find_one_bool("cossample", True)
+        i.n_samples = ps.find_one_int("nsamples", 64)
+
+    def Accelerator(self, kind, ps: ParamSet):
+        self.scene.accelerator = kind
+
+    def MakeNamedMedium(self, name, ps: ParamSet):
+        pass  # media: homogeneous/grid not yet supported on the wavefront
+
+    def MediumInterface(self, inside, outside):
+        pass
+
+    # ------------------------------------------------------------------
+    # world block
+    def WorldBegin(self):
+        self.in_world = True
+        self.ctm = xf.identity()
+        self.coord_systems["world"] = self.ctm.copy()
+
+    def WorldEnd(self):
+        self.in_world = False
+
+    def AttributeBegin(self):
+        self.graphics_stack.append(self.gs.copy())
+        self.transform_stack.append(self.ctm.copy())
+
+    def AttributeEnd(self):
+        self.gs = self.graphics_stack.pop()
+        self.ctm = self.transform_stack.pop()
+
+    def ReverseOrientation(self):
+        self.gs.reverse_orientation = not self.gs.reverse_orientation
+
+    # ------------------------------------------------------------------
+    # materials / textures / lights
+    def Material(self, kind, ps: ParamSet):
+        self.gs.material_index = self._make_material(kind, ps)
+
+    def MakeNamedMaterial(self, name, ps: ParamSet):
+        kind = ps.find_one_string("type", "matte")
+        self.scene.named_materials[name] = self._make_material(kind, ps)
+
+    def NamedMaterial(self, name):
+        if name in self.scene.named_materials:
+            self.gs.material_index = self.scene.named_materials[name]
+
+    def _make_material(self, kind: str, ps: ParamSet) -> int:
+        m = MaterialRecord()
+        m.kind = MATERIAL_IDS.get(kind, MAT_MATTE)
+        if m.kind in (MAT_DISNEY, MAT_FOURIER):
+            m.kind = MAT_MATTE  # graceful degradation until implemented
+        # defaults follow the Create*Material factories (src/materials/*.cpp)
+        if kind == "matte":
+            m.kd = ps.find_one_rgb("Kd", [0.5, 0.5, 0.5])
+            m.sigma = ps.find_one_float("sigma", 0.0)
+        elif kind == "plastic":
+            m.kd = ps.find_one_rgb("Kd", [0.25, 0.25, 0.25])
+            m.ks = ps.find_one_rgb("Ks", [0.25, 0.25, 0.25])
+            m.roughness = ps.find_one_float("roughness", 0.1)
+        elif kind == "mirror":
+            m.kr = ps.find_one_rgb("Kr", [0.9, 0.9, 0.9])
+        elif kind == "glass":
+            m.kr = ps.find_one_rgb("Kr", [1, 1, 1])
+            m.kt = ps.find_one_rgb("Kt", [1, 1, 1])
+            m.eta = ps.find_one_float("eta", ps.find_one_float("index", 1.5))
+            m.uroughness = ps.find_one_float("uroughness", 0.0)
+            m.vroughness = ps.find_one_float("vroughness", 0.0)
+        elif kind == "metal":
+            # default copper spectrum collapsed to RGB (metal.cpp CopperN/K)
+            m.metal_eta = ps.find_one_rgb("eta", [0.2004, 0.9240, 1.1022])
+            m.metal_k = ps.find_one_rgb("k", [3.9129, 2.4528, 2.1421])
+            m.roughness = ps.find_one_float("roughness", 0.01)
+            m.uroughness = ps.find_one_float("uroughness", -1.0)
+            m.vroughness = ps.find_one_float("vroughness", -1.0)
+        elif kind == "uber":
+            m.kd = ps.find_one_rgb("Kd", [0.25, 0.25, 0.25])
+            m.ks = ps.find_one_rgb("Ks", [0.25, 0.25, 0.25])
+            m.kr = ps.find_one_rgb("Kr", [0, 0, 0])
+            m.kt = ps.find_one_rgb("Kt", [0, 0, 0])
+            m.roughness = ps.find_one_float("roughness", 0.1)
+            m.eta = ps.find_one_float("eta", ps.find_one_float("index", 1.5))
+            opacity = ps.find_one_rgb("opacity", [1, 1, 1])
+            m.sigma = float(np.mean(opacity))  # stored for completeness
+        elif kind == "substrate":
+            m.kind = MAT_SUBSTRATE
+            m.kd = ps.find_one_rgb("Kd", [0.5, 0.5, 0.5])
+            m.ks = ps.find_one_rgb("Ks", [0.5, 0.5, 0.5])
+            m.uroughness = ps.find_one_float("uroughness", 0.1)
+            m.vroughness = ps.find_one_float("vroughness", 0.1)
+        elif kind == "translucent":
+            m.kd = ps.find_one_rgb("Kd", [0.25, 0.25, 0.25])
+            m.ks = ps.find_one_rgb("Ks", [0.25, 0.25, 0.25])
+            m.kr = ps.find_one_rgb("reflect", [0.5, 0.5, 0.5])
+            m.kt = ps.find_one_rgb("transmit", [0.5, 0.5, 0.5])
+            m.roughness = ps.find_one_float("roughness", 0.1)
+        elif kind in ("none", ""):
+            pass
+        else:
+            m.kd = ps.find_one_rgb("Kd", [0.5, 0.5, 0.5])
+        m.remap_roughness = ps.find_one_bool("remaproughness", True)
+        for slot, pname in (("kd_tex", "Kd"), ("ks_tex", "Ks"),
+                            ("sigma_tex", "sigma"), ("rough_tex", "roughness"),
+                            ("bump_tex", "bumpmap")):
+            t = ps.find_texture_name(pname)
+            if t is not None:
+                setattr(m, slot, t)
+        self.scene.materials.append(m)
+        return len(self.scene.materials) - 1
+
+    def Texture(self, name, data_type, kind, ps: ParamSet):
+        self.scene.textures[name] = TextureRecord(
+            name=name,
+            kind=kind,
+            is_float=(data_type == "float"),
+            params=ps,
+            uscale=ps.find_one_float("uscale", 1.0),
+            vscale=ps.find_one_float("vscale", 1.0),
+        )
+
+    def LightSource(self, kind, ps: ParamSet):
+        sc = ps.find_one_rgb("scale", [1, 1, 1])
+        if kind == "point":
+            i = ps.find_one_rgb("I", [1, 1, 1]) * sc
+            p_local = ps.find_floats("from")
+            p_local = p_local if p_local is not None else np.zeros(3)
+            pos = xf.apply_point(self.ctm, p_local)
+            self.scene.lights.append(LightRecord(LIGHT_POINT, i, position=pos))
+        elif kind == "spot":
+            i = ps.find_one_rgb("I", [1, 1, 1]) * sc
+            frm = ps.find_floats("from")
+            to = ps.find_floats("to")
+            frm = frm if frm is not None else np.zeros(3)
+            to = to if to is not None else np.array([0, 0, 1.0])
+            pos = xf.apply_point(self.ctm, frm)
+            to_w = xf.apply_point(self.ctm, to)
+            d = to_w - pos
+            d = d / np.linalg.norm(d)
+            cone = ps.find_one_float("coneangle", 30.0)
+            delta = ps.find_one_float("conedeltaangle", 5.0)
+            self.scene.lights.append(
+                LightRecord(
+                    LIGHT_SPOT, i, position=pos, direction=d,
+                    cos_total=float(np.cos(np.deg2rad(cone))),
+                    cos_falloff=float(np.cos(np.deg2rad(cone - delta))),
+                )
+            )
+        elif kind == "distant":
+            L = ps.find_one_rgb("L", [1, 1, 1]) * sc
+            frm = ps.find_floats("from")
+            to = ps.find_floats("to")
+            frm = frm if frm is not None else np.zeros(3)
+            to = to if to is not None else np.array([0, 0, 1.0])
+            w = xf.apply_point(self.ctm, frm) - xf.apply_point(self.ctm, to)
+            w = w / np.linalg.norm(w)  # direction TOWARDS the light
+            self.scene.lights.append(LightRecord(LIGHT_DISTANT, L, direction=w))
+        elif kind == "infinite":
+            L = ps.find_one_rgb("L", [1, 1, 1]) * sc
+            mapname = ps.find_one_string("mapname", "")
+            if mapname and not os.path.isabs(mapname):
+                mapname = os.path.join(self.base_dir, mapname)
+            self.scene.lights.append(
+                LightRecord(LIGHT_INFINITE, L, map_name=mapname)
+            )
+        # goniometric / projection: not yet supported
+
+    def AreaLightSource(self, kind, ps: ParamSet):
+        self.gs.area_light = ps
+
+    # ------------------------------------------------------------------
+    # shapes
+    def Shape(self, kind, ps: ParamSet):
+        if self.recording is not None:
+            self.objects[self.recording].append((kind, ps, self.ctm.copy(),
+                                                 self.gs.copy()))
+            return
+        self._emit_shape(kind, ps, self.ctm, self.gs)
+
+    def _emit_shape(self, kind, ps, ctm, gs):
+        sd = self.scene
+        light_id = -1
+        if gs.area_light is not None:
+            lp = gs.area_light
+            L = lp.find_one_rgb("L", [1, 1, 1]) * lp.find_one_rgb("scale", [1, 1, 1])
+            rec = LightRecord(LIGHT_AREA_TRI, L,
+                              two_sided=lp.find_one_bool("twosided", False))
+            sd.lights.append(rec)
+            light_id = len(sd.lights) - 1
+
+        if kind == "sphere" and light_id >= 0:
+            # analytic sphere emitter: cone-sampled like the reference
+            # (ref: src/shapes/sphere.cpp:Sample(ref))
+            radius = ps.find_one_float("radius", 1.0)
+            center = xf.apply_point(ctm, np.zeros(3))
+            s = float(np.linalg.norm(ctm[:3, 0]))
+            sd.spheres.append(
+                dict(center=center, radius=radius * s,
+                     mat=gs.material_index, light=light_id)
+            )
+            rec = sd.lights[light_id]
+            rec.kind = LIGHT_AREA_SPHERE
+            rec.sphere_index = len(sd.spheres) - 1
+            return
+
+        tri = shapelib.create_triangles(kind, ps, ctm, gs.reverse_orientation,
+                                        self.base_dir)
+        if tri is None:
+            return
+        p, n, uv = tri
+        start = sd.add_triangles(p, n, uv, gs.material_index, light_id)
+        if light_id >= 0:
+            sd.lights[light_id].tri_start = start
+            sd.lights[light_id].tri_count = p.shape[0]
+
+    # ------------------------------------------------------------------
+    # object instancing
+    def ObjectBegin(self, name):
+        self.AttributeBegin()
+        self.objects[name] = []
+        self.recording = name
+        self.record_base_ctm = self.ctm.copy()
+
+    def ObjectEnd(self):
+        self.recording = None
+        self.AttributeEnd()
+
+    def ObjectInstance(self, name):
+        if name not in self.objects:
+            return
+        base_inv = xf.inverse(self.record_base_ctm) if self.record_base_ctm is not None else xf.identity()
+        for kind, ps, shape_ctm, gs in self.objects[name]:
+            final = self.ctm @ base_inv @ shape_ctm
+            self._emit_shape(kind, ps, final, gs)
+
+
+def load_scene(path: str) -> SceneDesc:
+    from . import parser as pbrt_parser
+
+    api = Api(base_dir=os.path.dirname(os.path.abspath(path)))
+    pbrt_parser.parse_file(path, api)
+    return api.scene
+
+
+def load_scene_string(text: str, base_dir: str = ".") -> SceneDesc:
+    from . import parser as pbrt_parser
+
+    api = Api(base_dir=base_dir)
+    pbrt_parser.parse_string(text, api, base_dir)
+    return api.scene

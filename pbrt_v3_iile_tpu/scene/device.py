@@ -1,0 +1,308 @@
+"""Device scene: every scene entity as flat jnp arrays (one pytree).
+
+This is the TPU-native replacement for the reference's pointer-based
+Scene/Primitive/Material/Light object graph (ref: src/core/scene.h:49,
+primitive.h, light.h): geometry, BVH, materials and lights are
+structure-of-arrays so any wavefront stage is a gather + vector op.
+Replicated across the device mesh (small-scene regime, ref SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import bvh as bvhlib
+from . import api as apilib
+
+
+class DeviceScene(NamedTuple):
+    # --- triangles (BVH order) ---
+    tri_p0: jnp.ndarray      # (T,3)
+    tri_e1: jnp.ndarray      # (T,3) p1-p0
+    tri_e2: jnp.ndarray      # (T,3) p2-p0
+    tri_ng: jnp.ndarray      # (T,3) geometric normal (unit)
+    tri_ns: jnp.ndarray      # (T,3,3) shading normals per vertex
+    tri_uv: jnp.ndarray      # (T,3,2)
+    tri_mat: jnp.ndarray     # (T,) i32
+    tri_light: jnp.ndarray   # (T,) i32, -1 = not emissive
+    # --- BVH (LinearBVHNode layout, ref bvh.cpp:95) ---
+    node_min: jnp.ndarray    # (M,3)
+    node_max: jnp.ndarray    # (M,3)
+    node_right: jnp.ndarray  # (M,) i32
+    node_count: jnp.ndarray  # (M,) i32 (0 = interior)
+    node_axis: jnp.ndarray   # (M,) i32
+    # --- analytic spheres (emitters) ---
+    sph_center: jnp.ndarray  # (S,3)
+    sph_radius: jnp.ndarray  # (S,)
+    sph_mat: jnp.ndarray     # (S,) i32
+    sph_light: jnp.ndarray   # (S,) i32
+    n_spheres: jnp.ndarray   # () i32 — real count (array is padded)
+    # --- materials SoA ---
+    mat_kind: jnp.ndarray    # (M,) i32
+    mat_kd: jnp.ndarray      # (M,3)
+    mat_ks: jnp.ndarray
+    mat_kr: jnp.ndarray
+    mat_kt: jnp.ndarray
+    mat_rough: jnp.ndarray   # (M,)
+    mat_urough: jnp.ndarray
+    mat_vrough: jnp.ndarray
+    mat_eta: jnp.ndarray
+    mat_metal_eta: jnp.ndarray  # (M,3)
+    mat_metal_k: jnp.ndarray    # (M,3)
+    mat_sigma: jnp.ndarray
+    mat_remap: jnp.ndarray   # (M,) bool-ish f32
+    # --- lights SoA ---
+    light_kind: jnp.ndarray  # (L,) i32
+    light_L: jnp.ndarray     # (L,3)
+    light_pos: jnp.ndarray   # (L,3)
+    light_dir: jnp.ndarray   # (L,3)
+    light_cos_total: jnp.ndarray    # (L,)
+    light_cos_falloff: jnp.ndarray  # (L,)
+    light_two_sided: jnp.ndarray    # (L,)
+    light_sphere: jnp.ndarray       # (L,) i32 index into spheres
+    light_tri_off: jnp.ndarray      # (L,) i32 into light-tri table
+    light_tri_cnt: jnp.ndarray      # (L,) i32
+    light_area: jnp.ndarray         # (L,) total emitting area
+    light_pdf: jnp.ndarray          # (L,) selection probability
+    light_cdf: jnp.ndarray          # (L,) cumulative selection
+    n_lights: jnp.ndarray           # () i32
+    # --- light-triangle table (for area sampling; own ordering) ---
+    ltri_p0: jnp.ndarray     # (K,3)
+    ltri_e1: jnp.ndarray
+    ltri_e2: jnp.ndarray
+    ltri_ng: jnp.ndarray     # (K,3)
+    ltri_area: jnp.ndarray   # (K,)
+    ltri_cdf: jnp.ndarray    # (K,) per-light-normalized cumulative area
+    ltri_light: jnp.ndarray  # (K,) i32 owning light
+    # --- world ---
+    world_min: jnp.ndarray   # (3,)
+    world_max: jnp.ndarray   # (3,)
+    world_radius: jnp.ndarray  # ()
+
+
+def _pad(a, n, fill=0.0):
+    a = np.asarray(a)
+    if a.shape[0] >= n:
+        return a
+    pad_shape = (n - a.shape[0],) + a.shape[1:]
+    return np.concatenate([a, np.full(pad_shape, fill, dtype=a.dtype)], axis=0)
+
+
+def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> DeviceScene:
+    # ---- concatenate triangle blocks ----
+    if sd.tri_blocks:
+        p = np.concatenate([b["p"] for b in sd.tri_blocks], axis=0)
+        ns = np.concatenate(
+            [b["n"] if b["n"] is not None else _smooth_from_geo(b["p"])
+             for b in sd.tri_blocks], axis=0)
+        uv = np.concatenate(
+            [b["uv"] if b["uv"] is not None else _default_uv(b["p"].shape[0])
+             for b in sd.tri_blocks], axis=0)
+        mat = np.concatenate([b["mat"] for b in sd.tri_blocks])
+        lig = np.concatenate([b["light"] for b in sd.tri_blocks])
+    else:
+        p = np.zeros((1, 3, 3), np.float32)
+        ns = np.zeros((1, 3, 3), np.float32)
+        uv = np.zeros((1, 3, 2), np.float32)
+        mat = np.zeros(1, np.int32)
+        lig = np.full(1, -1, np.int32)
+
+    flat = bvhlib.build_bvh(p, use_native=use_native_bvh)
+    order = flat.prim_order
+    p, ns, uv, mat, lig = p[order], ns[order], uv[order], mat[order], lig[order]
+
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    ng = np.cross(e1, e2)
+    area2 = np.linalg.norm(ng, axis=-1, keepdims=True)
+    ng = np.where(area2 > 1e-20, ng / np.maximum(area2, 1e-20), 0.0)
+
+    # ---- spheres (padded to >=1) ----
+    S = max(1, len(sd.spheres))
+    sph_center = np.zeros((S, 3), np.float32)
+    sph_radius = np.zeros(S, np.float32)
+    sph_mat = np.zeros(S, np.int32)
+    sph_light = np.full(S, -1, np.int32)
+    for i, s in enumerate(sd.spheres):
+        sph_center[i] = s["center"]
+        sph_radius[i] = s["radius"]
+        sph_mat[i] = s["mat"]
+        sph_light[i] = s["light"]
+
+    # ---- materials SoA ----
+    M = len(sd.materials)
+    z3 = lambda: np.zeros((M, 3), np.float32)
+    mk = np.zeros(M, np.int32)
+    kd, ks, kr, kt = z3(), z3(), z3(), z3()
+    meta, mk_k = z3(), z3()
+    rough = np.zeros(M, np.float32)
+    uro = np.full(M, -1.0, np.float32)
+    vro = np.full(M, -1.0, np.float32)
+    eta = np.full(M, 1.5, np.float32)
+    sigma = np.zeros(M, np.float32)
+    remap = np.ones(M, np.float32)
+    for i, m in enumerate(sd.materials):
+        mk[i] = m.kind
+        if m.kd is not None:
+            kd[i] = m.kd
+        if m.ks is not None:
+            ks[i] = m.ks
+        if m.kr is not None:
+            kr[i] = m.kr
+        if m.kt is not None:
+            kt[i] = m.kt
+        if m.metal_eta is not None:
+            meta[i] = m.metal_eta
+        if m.metal_k is not None:
+            mk_k[i] = m.metal_k
+        rough[i] = m.roughness
+        uro[i] = m.uroughness
+        vro[i] = m.vroughness
+        eta[i] = m.eta
+        sigma[i] = m.sigma
+        remap[i] = 1.0 if m.remap_roughness else 0.0
+
+    # ---- light-triangle table ----
+    ltp, lte1, lte2, ltng, ltarea, ltlight = [], [], [], [], [], []
+    l_off = np.zeros(max(1, len(sd.lights)), np.int32)
+    l_cnt = np.zeros(max(1, len(sd.lights)), np.int32)
+    l_area = np.zeros(max(1, len(sd.lights)), np.float32)
+    # area triangles must be found in ORIGINAL block order (pre-BVH-permute):
+    # rebuild from blocks directly.
+    tri_light_orig = []
+    tri_p_orig = []
+    for b in sd.tri_blocks:
+        tri_light_orig.append(b["light"])
+        tri_p_orig.append(b["p"])
+    if tri_p_orig:
+        tri_light_orig = np.concatenate(tri_light_orig)
+        tri_p_orig = np.concatenate(tri_p_orig, axis=0)
+    else:
+        tri_light_orig = np.full(0, -1, np.int32)
+        tri_p_orig = np.zeros((0, 3, 3), np.float32)
+
+    for li, lrec in enumerate(sd.lights):
+        if lrec.kind == apilib.LIGHT_AREA_TRI and lrec.tri_count > 0:
+            sel = np.arange(lrec.tri_start, lrec.tri_start + lrec.tri_count)
+            tp = tri_p_orig[sel]
+            te1 = tp[:, 1] - tp[:, 0]
+            te2 = tp[:, 2] - tp[:, 0]
+            cr = np.cross(te1, te2)
+            a = 0.5 * np.linalg.norm(cr, axis=-1)
+            n = np.where(a[:, None] > 1e-20, cr / np.maximum(2 * a[:, None], 1e-20), 0.0)
+            l_off[li] = len(ltarea) and sum(len(x) for x in ltarea) or 0
+            l_off[li] = int(sum(len(x) for x in ltarea))
+            l_cnt[li] = tp.shape[0]
+            l_area[li] = float(a.sum())
+            ltp.append(tp[:, 0]); lte1.append(te1); lte2.append(te2)
+            ltng.append(n); ltarea.append(a)
+            ltlight.append(np.full(tp.shape[0], li, np.int32))
+        elif lrec.kind == apilib.LIGHT_AREA_SPHERE:
+            r = sd.spheres[lrec.sphere_index]["radius"]
+            l_area[li] = float(4.0 * np.pi * r * r)
+
+    if ltarea:
+        ltri_p0 = np.concatenate(ltp).astype(np.float32)
+        ltri_e1 = np.concatenate(lte1).astype(np.float32)
+        ltri_e2 = np.concatenate(lte2).astype(np.float32)
+        ltri_ng = np.concatenate(ltng).astype(np.float32)
+        ltri_area = np.concatenate(ltarea).astype(np.float32)
+        ltri_light = np.concatenate(ltlight)
+        # per-light-normalized cdf
+        ltri_cdf = np.zeros_like(ltri_area)
+        for li in range(len(sd.lights)):
+            o, c = l_off[li], l_cnt[li]
+            if c > 0:
+                seg = ltri_area[o:o + c]
+                ltri_cdf[o:o + c] = np.cumsum(seg) / max(seg.sum(), 1e-20)
+    else:
+        ltri_p0 = np.zeros((1, 3), np.float32)
+        ltri_e1 = np.zeros((1, 3), np.float32)
+        ltri_e2 = np.zeros((1, 3), np.float32)
+        ltri_ng = np.zeros((1, 3), np.float32)
+        ltri_area = np.zeros(1, np.float32)
+        ltri_cdf = np.ones(1, np.float32)
+        ltri_light = np.full(1, -1, np.int32)
+
+    # ---- lights SoA ----
+    L = max(1, len(sd.lights))
+    lkind = np.zeros(L, np.int32)
+    lL = np.zeros((L, 3), np.float32)
+    lpos = np.zeros((L, 3), np.float32)
+    ldir = np.tile(np.array([[0, 0, 1.0]], np.float32), (L, 1))
+    lct = np.full(L, -1.0, np.float32)
+    lcf = np.full(L, -1.0, np.float32)
+    l2s = np.zeros(L, np.float32)
+    lsph = np.full(L, -1, np.int32)
+    for i, lrec in enumerate(sd.lights):
+        lkind[i] = lrec.kind
+        lL[i] = lrec.L
+        if lrec.position is not None:
+            lpos[i] = lrec.position
+        if lrec.direction is not None:
+            ldir[i] = lrec.direction
+        lct[i] = lrec.cos_total
+        lcf[i] = lrec.cos_falloff
+        l2s[i] = 1.0 if lrec.two_sided else 0.0
+        lsph[i] = lrec.sphere_index
+
+    # world bounds (geometry + spheres)
+    wmin = p.min(axis=(0, 1)) if p.size else np.zeros(3)
+    wmax = p.max(axis=(0, 1)) if p.size else np.ones(3)
+    for s in sd.spheres:
+        wmin = np.minimum(wmin, np.asarray(s["center"]) - s["radius"])
+        wmax = np.maximum(wmax, np.asarray(s["center"]) + s["radius"])
+    wradius = 0.5 * float(np.linalg.norm(wmax - wmin))
+    wradius = max(wradius, 1e-3)
+
+    # light selection: uniform over lights (ref: integrator.cpp
+    # UniformSampleOneLight with uniform distribution; spatial distribution
+    # is a variance optimization we can add later)
+    nl = len(sd.lights)
+    lpdf = np.full(L, 1.0 / max(nl, 1), np.float32)
+    lcdf = np.cumsum(lpdf)
+
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
+    i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
+
+    return DeviceScene(
+        tri_p0=f32(p[:, 0]), tri_e1=f32(e1), tri_e2=f32(e2),
+        tri_ng=f32(ng), tri_ns=f32(ns), tri_uv=f32(uv),
+        tri_mat=i32(mat), tri_light=i32(lig),
+        node_min=f32(flat.node_min), node_max=f32(flat.node_max),
+        node_right=i32(flat.node_right), node_count=i32(flat.node_count),
+        node_axis=i32(flat.node_axis),
+        sph_center=f32(sph_center), sph_radius=f32(sph_radius),
+        sph_mat=i32(sph_mat), sph_light=i32(sph_light),
+        n_spheres=i32(len(sd.spheres)),
+        mat_kind=i32(mk), mat_kd=f32(kd), mat_ks=f32(ks), mat_kr=f32(kr),
+        mat_kt=f32(kt), mat_rough=f32(rough), mat_urough=f32(uro),
+        mat_vrough=f32(vro), mat_eta=f32(eta), mat_metal_eta=f32(meta),
+        mat_metal_k=f32(mk_k), mat_sigma=f32(sigma), mat_remap=f32(remap),
+        light_kind=i32(lkind), light_L=f32(lL), light_pos=f32(lpos),
+        light_dir=f32(ldir), light_cos_total=f32(lct),
+        light_cos_falloff=f32(lcf), light_two_sided=f32(l2s),
+        light_sphere=i32(lsph), light_tri_off=i32(l_off),
+        light_tri_cnt=i32(l_cnt), light_area=f32(l_area),
+        light_pdf=f32(lpdf), light_cdf=f32(lcdf), n_lights=i32(nl),
+        ltri_p0=f32(ltri_p0), ltri_e1=f32(ltri_e1), ltri_e2=f32(ltri_e2),
+        ltri_ng=f32(ltri_ng), ltri_area=f32(ltri_area),
+        ltri_cdf=f32(ltri_cdf), ltri_light=i32(ltri_light),
+        world_min=f32(wmin), world_max=f32(wmax),
+        world_radius=f32(wradius),
+    )
+
+
+def _smooth_from_geo(p):
+    """Zero shading normals -> signals 'use geometric normal'."""
+    return np.zeros_like(p)
+
+
+def _default_uv(n):
+    uv = np.zeros((n, 3, 2), np.float32)
+    uv[:, 1, 0] = 1.0
+    uv[:, 2, 1] = 1.0
+    return uv
