@@ -1,0 +1,218 @@
+"""Wavefront path integrator with NEE + one-sample MIS.
+
+Estimator semantics follow the reference's PathIntegrator::Li loop
+(ref: src/integrators/path.cpp:81-193): emitted-light handling on bounce
+0 / specular bounces, NEE each bounce with power-heuristic MIS
+(ref: src/core/integrator.cpp:108 EstimateDirect), Russian roulette after
+bounce 3 with q = max(.05, 1 - maxComponent(beta*etaScale)).
+
+The TPU-native restructuring: instead of tracing a *separate* BSDF sample
+inside EstimateDirect, the continuation BSDF sample doubles as the MIS
+counterpart — the standard wavefront "one-sample MIS" formulation (still
+an unbiased estimator of the same integral, one intersect per bounce
+instead of two).  State is SoA over the wavefront; the bounce loop is a
+`lax.scan`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import vecmath as vm
+from ..ops import bsdf as bsdflib
+from ..ops import intersect as isect
+from ..ops import lights as lightlib
+from ..ops import samplers as smplr
+from ..ops import sampling as smp
+
+
+class PathConfig(NamedTuple):
+    max_depth: int = 5
+    rr_start: int = 3
+    rr_threshold: float = 1.0
+    nee: bool = True                  # next-event estimation on
+    nee_all: bool = False             # sample ALL lights (directlighting
+                                      # "all" strategy, integrator.cpp:54)
+    direct_only: bool = False         # continue only specular paths
+                                      # (ref: directlighting.cpp WhittedLike)
+    skip_bounce0_le: bool = False     # IILE probe mode (iispt_d.cpp:116)
+    use_pallas: bool = False
+
+
+def _mis_or_one(use_mis, prev_pdf, light_pdf):
+    w = smp.power_heuristic(1.0, prev_pdf, 1.0, light_pdf)
+    return jnp.where(use_mis, w, 1.0)
+
+
+def trace_paths(scene, o0, d0, key, cfg: PathConfig,
+                beta0=None, collect_aux: bool = False):
+    """Traces N paths; returns radiance (N,3) [and aux dict].
+
+    o0, d0: (N,3) primary rays.  key: per-wavefront base PRNG key.
+    aux (when collect_aux): first-hit distance, world normal, hit mask —
+    the probe G-buffer channels (ref: iispt_d.cpp:98-113).
+    """
+    N = o0.shape[0]
+    if beta0 is None:
+        beta0 = jnp.ones((N, 3), jnp.float32)
+
+    L0 = jnp.zeros((N, 3), jnp.float32)
+    alive0 = jnp.ones(N, bool)
+    spec0 = jnp.zeros(N, bool)
+    prev_pdf0 = jnp.ones(N, jnp.float32)
+    eta_scale0 = jnp.ones(N, jnp.float32)
+    aux_t0 = jnp.full(N, -1.0, jnp.float32)
+    aux_n0 = jnp.zeros((N, 3), jnp.float32)
+
+    ghost0 = jnp.zeros(N, bool)
+
+    def bounce_body(carry, bounce):
+        (o, d, beta, L, alive, spec, prev_pdf, eta_scale,
+         aux_t, aux_n, ghost, ray_count) = carry
+        k_light_sel = smplr.wave_key(key, 0, bounce, smplr.DIM_LIGHT_SELECT)
+        k_light = smplr.wave_key(key, 0, bounce, smplr.DIM_LIGHT_SAMPLE)
+        k_lobe = smplr.wave_key(key, 0, bounce, smplr.DIM_BSDF_LOBE)
+        k_dir = smplr.wave_key(key, 0, bounce, smplr.DIM_BSDF_DIR)
+        k_rr = smplr.wave_key(key, 0, bounce, smplr.DIM_RR)
+
+        t_max = jnp.full(N, 1e30, jnp.float32)
+        hit = isect.intersect(scene, o, d, t_max, use_pallas=cfg.use_pallas)
+        it = isect.make_interaction(scene, o, d, hit)
+        ray_count = ray_count + jnp.sum(alive)
+
+        found = hit.valid & alive
+
+        # ---------- emitted radiance ----------
+        # escaped rays: infinite lights
+        esc = alive & (~hit.valid)
+        env = lightlib.environment_le(scene, d)
+        n_l = jnp.maximum(scene.n_lights, 1).astype(jnp.float32)
+        inf_sel_pdf = 1.0 / n_l
+        env_pdf = smp.INV_4PI * inf_sel_pdf
+        use_mis = (bounce > 0) & (~spec) & cfg.nee
+        w_env = _mis_or_one(use_mis, prev_pdf, env_pdf)
+        skip0 = cfg.skip_bounce0_le & (bounce == 0)
+        L = L + jnp.where((esc & ~skip0)[:, None], beta * env * w_env[:, None], 0.0)
+
+        # emissive surface hit
+        emissive = found & (it.light >= 0)
+        lid = jnp.maximum(it.light, 0)
+        le = lightlib.area_light_le(scene, lid, it.ng, it.wo)
+        hit_cos = jnp.abs(vm.dot(it.ng, d))
+        area_pdf = lightlib.pdf_li(scene, lid, o, d, hit.t, hit_cos) * inf_sel_pdf
+        w_le = _mis_or_one(use_mis, prev_pdf, area_pdf)
+        L = L + jnp.where((emissive & ~skip0)[:, None],
+                          beta * le * w_le[:, None], 0.0)
+
+        # probe G-buffer capture at bounce 0 (iispt_d.cpp:98-113)
+        if collect_aux:
+            first = bounce == 0
+            aux_t = jnp.where(first, jnp.where(hit.valid, hit.t, -1.0), aux_t)
+            aux_n = jnp.where(first, jnp.where(hit.valid[:, None], it.ng, 0.0),
+                              aux_n)
+
+        alive = found
+        depth_ok = bounce < cfg.max_depth
+        alive = alive & depth_ok
+        if cfg.direct_only:
+            # ghost rays existed only to collect the MIS bsdf-half Le
+            # (EstimateDirect's bsdf-sampling strategy, integrator.cpp:180)
+            alive = alive & (~ghost)
+
+        # ---------- shading frame ----------
+        ns = vm.face_forward(it.ns, it.ng)  # shading n on geometric side
+        ng_f = vm.face_forward(it.ng, -d)   # geometric normal towards viewer
+        t_f, b_f = vm.coordinate_system(ns)
+        wo_l = vm.to_local(it.wo, t_f, b_f, ns)
+        params = bsdflib.gather_params(scene, jnp.maximum(it.mat, 0))
+        black = bsdflib.is_black(params)
+        alive = alive & (~black)
+
+        # ---------- NEE ----------
+        def nee_once(light_id, sel_pdf, u_l, extra_mask):
+            ls = lightlib.sample_li(scene, light_id, it.p, u_l)
+            wi_l = vm.to_local(ls.wi, t_f, b_f, ns)
+            f_l, scat_pdf = bsdflib.evaluate(params, wo_l, wi_l)
+            cos_l = vm.absdot(ls.wi, ns)
+            can_nee = alive & bsdflib.has_nonspecular(params) & \
+                (ls.pdf > 0.0) & (vm.luminance(ls.li) > 0.0) & \
+                (scene.n_lights > 0) & extra_mask
+            o_sh = vm.offset_ray_origin(it.p, ng_f, ls.wi)
+            occ = isect.occluded(scene, o_sh, ls.wi, ls.dist * 0.999,
+                                 use_pallas=cfg.use_pallas)
+            vis = can_nee & (~occ)
+            w_l = jnp.where(ls.is_delta, 1.0,
+                            smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf))
+            contrib = beta * f_l * ls.li * (cos_l * w_l / jnp.maximum(
+                ls.pdf * sel_pdf, 1e-12))[:, None]
+            return jnp.where(vis[:, None], contrib, 0.0)
+
+        if cfg.nee and cfg.nee_all:
+            # UniformSampleAllLights (integrator.cpp:54): one sample per light
+            n_light_slots = scene.light_kind.shape[0]
+            u_all = smplr.uniform(k_light, (N, n_light_slots, 3))
+            for li in range(n_light_slots):
+                lid = jnp.full(N, li, jnp.int32)
+                live_light = li < scene.n_lights
+                L = L + nee_once(lid, jnp.ones(N), u_all[:, li],
+                                 jnp.broadcast_to(live_light, (N,)))
+        elif cfg.nee:
+            u_sel = smplr.uniform(k_light_sel, (N,))
+            u_l = smplr.uniform(k_light, (N, 3))
+            light_id, sel_pdf = lightlib.choose_light(scene, u_sel)
+            L = L + nee_once(light_id, sel_pdf, u_l, jnp.ones(N, bool))
+
+        # ---------- BSDF sample / continuation ----------
+        u_lobe = smplr.uniform(k_lobe, (N,))
+        u_dir = smplr.uniform(k_dir, (N, 2))
+        bs = bsdflib.sample(params, wo_l, u_lobe, u_dir)
+        wi_w = vm.to_world(bs.wi, t_f, b_f, ns)
+        cos_w = vm.absdot(wi_w, ns)
+        beta_new = beta * bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-12))[:, None]
+        ok = bs.valid & alive & (vm.luminance(jnp.abs(beta_new)) > 0.0) & \
+            jnp.isfinite(vm.luminance(beta_new))
+        beta = jnp.where(ok[:, None], beta_new, beta)
+        alive = alive & ok
+        if cfg.direct_only:
+            # directlighting: only specular paths recurse; a non-specular
+            # continuation survives exactly one segment as a "ghost" to
+            # pick up emissive hits with MIS weight
+            ghost = alive & (~bs.is_specular)
+        spec = bs.is_specular
+        prev_pdf = jnp.where(bs.is_specular, 1.0, bs.pdf)
+
+        # refraction radiance scaling bookkeeping (path.cpp:160-168)
+        eta_rel = jnp.where(vm.dot(it.wo, it.ng) > 0.0,
+                            params.eta, 1.0 / jnp.maximum(params.eta, 1e-6))
+        eta_scale = jnp.where(bs.is_transmission,
+                              eta_scale * eta_rel * eta_rel, eta_scale)
+
+        o = vm.offset_ray_origin(it.p, ng_f, wi_w)
+        d = wi_w
+
+        # ---------- russian roulette (path.cpp:185-192) ----------
+        rr_beta_max = vm.max_component(beta * eta_scale[:, None])
+        do_rr = (rr_beta_max < cfg.rr_threshold) & (bounce > cfg.rr_start)
+        q = jnp.maximum(0.05, 1.0 - rr_beta_max)
+        u_rr = smplr.uniform(k_rr, (N,))
+        killed = do_rr & (u_rr < q)
+        alive = alive & (~killed)
+        beta = jnp.where((do_rr & ~killed)[:, None],
+                         beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
+
+        return (o, d, beta, L, alive, spec, prev_pdf, eta_scale,
+                aux_t, aux_n, ghost, ray_count), None
+
+    carry0 = (o0, d0, beta0, L0, alive0, spec0, prev_pdf0, eta_scale0,
+              aux_t0, aux_n0, ghost0, jnp.zeros((), jnp.int32))
+    # max_depth bounces of scattering => max_depth+1 segments traced
+    bounces = jnp.arange(cfg.max_depth + 1)
+    carry, _ = jax.lax.scan(bounce_body, carry0, bounces)
+    (_, _, _, L, _, _, _, _, aux_t, aux_n, _, ray_count) = carry
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    if collect_aux:
+        return L, dict(distance=aux_t, normal=aux_n, rays=ray_count)
+    return L, dict(rays=ray_count)

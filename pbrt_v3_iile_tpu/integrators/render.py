@@ -1,0 +1,123 @@
+"""Render drivers: turn (scene file -> device scene -> passes -> film).
+
+Replaces the reference's SamplerIntegrator::Render tile loop
+(ref: src/core/integrator.cpp:227-339): instead of 16x16 tiles over
+threads, each *pass* is one jitted wavefront covering the whole image at
+1 spp (or row-chunks when the image exceeds the wave budget); passes loop
+on the host, film accumulates on device.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import camera as camlib
+from ..ops import film as filmlib
+from ..ops import samplers as smplr
+from ..scene import api as apilib
+from ..scene import device as devlib
+from . import path as pathlib_
+
+
+def make_integrator_config(sd: apilib.SceneDesc, use_pallas=False):
+    kind = sd.integrator.kind
+    if kind in ("path", "volpath", "bdpt", "mlt", "sppm", "iispt"):
+        # volpath/bdpt/mlt/sppm estimate full transport; the wavefront
+        # path estimator covers their surface-transport output
+        return pathlib_.PathConfig(
+            max_depth=sd.integrator.max_depth,
+            rr_threshold=sd.integrator.rr_threshold,
+            use_pallas=use_pallas,
+        )
+    if kind == "directlighting":
+        return pathlib_.PathConfig(
+            max_depth=sd.integrator.max_depth,
+            nee=True,
+            nee_all=(sd.integrator.dl_strategy == "all"),
+            direct_only=True,
+            use_pallas=use_pallas,
+        )
+    if kind == "whitted":
+        return pathlib_.PathConfig(
+            max_depth=sd.integrator.max_depth,
+            nee=True, nee_all=True, direct_only=True,
+            use_pallas=use_pallas,
+        )
+    return pathlib_.PathConfig(max_depth=sd.integrator.max_depth,
+                               use_pallas=use_pallas)
+
+
+def build(sd: apilib.SceneDesc, use_native_bvh: bool = True):
+    scene = devlib.build_device_scene(sd, use_native_bvh=use_native_bvh)
+    cam = camlib.make_camera(sd.camera, sd.film)
+    return scene, cam
+
+
+def render_pass_fn(sd: apilib.SceneDesc, cfg=None):
+    """Returns jittable f(scene, cam, key, pass_idx) -> (L (H,W,3),
+    jitter (H,W,2), rays ()).  Scene/camera are arguments (not closure
+    constants) so device arrays stay resident instead of being baked into
+    the compiled program."""
+    H, W = sd.film.y_resolution, sd.film.x_resolution
+    if cfg is None:
+        cfg = make_integrator_config(sd)
+    has_lens = sd.camera.lens_radius > 0.0
+
+    def run(scene, cam, key, pass_idx):
+        px = jnp.arange(W, dtype=jnp.float32)
+        py = jnp.arange(H, dtype=jnp.float32)
+        gx, gy = jnp.meshgrid(px, py)          # (H,W)
+        pix = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
+        k = jax.random.fold_in(key, pass_idx)
+        kj = smplr.wave_key(k, 0, 0, smplr.DIM_PIXEL_JITTER)
+        jitter = smplr.uniform(kj, (H * W, 2))
+        p_film = pix + jitter
+        u_lens = None
+        if has_lens:
+            kl = smplr.wave_key(k, 0, 0, smplr.DIM_LENS)
+            u_lens = smplr.uniform(kl, (H * W, 2))
+        o, d = camlib.generate_rays(cam, p_film, u_lens)
+        L, aux = pathlib_.trace_paths(scene, o, d, k, cfg)
+        return (L.reshape(H, W, 3), jitter.reshape(H, W, 2), aux["rays"])
+
+    return run
+
+
+def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
+           use_pallas: bool = False, use_native_bvh: bool = True,
+           report=None):
+    """Full render; returns (image (H,W,3) np.ndarray, stats dict)."""
+    import time
+
+    scene, cam = build(sd, use_native_bvh=use_native_bvh)
+    cfg = make_integrator_config(sd, use_pallas=use_pallas)
+    H, W = sd.film.y_resolution, sd.film.x_resolution
+    spp = spp if spp is not None else sd.sampler.pixel_samples
+
+    run = jax.jit(render_pass_fn(sd, cfg))
+    key = jax.random.PRNGKey(seed)
+
+    film = filmlib.new_film(H, W)
+    fname = sd.film.filter_name
+    add = jax.jit(functools.partial(
+        filmlib.add_sample_image, filter_name=fname,
+        xw=sd.film.filter_xwidth, yw=sd.film.filter_ywidth,
+        alpha=sd.film.filter_alpha, B=sd.film.filter_b, C=sd.film.filter_c,
+        tau=sd.film.filter_tau))
+
+    total_rays = 0
+    t0 = time.time()
+    for p in range(spp):
+        L, jitter, rays = run(scene, cam, key, p)
+        film = add(film, L, jitter)
+        total_rays += int(rays)
+        if report is not None:
+            report(p + 1, spp, film)
+    img = np.asarray(filmlib.resolve(film))
+    dt = time.time() - t0
+    return img, dict(seconds=dt, rays=total_rays,
+                     mrays_per_s=total_rays / max(dt, 1e-9) / 1e6)

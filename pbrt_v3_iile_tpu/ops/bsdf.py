@@ -1,0 +1,381 @@
+"""Wavefront BSDF evaluation and sampling.
+
+Re-expresses the reference's BxDF class hierarchy (ref:
+src/core/reflection.{h,cpp}: LambertianReflection, OrenNayar,
+MicrofacetReflection, FresnelSpecular, SpecularReflection; BSDF::f
+reflection.cpp:686, BSDF::Sample_f reflection.cpp:719; microfacet math in
+src/core/microfacet.cpp) as a fixed set of *lobes* evaluated for the whole
+wavefront with per-ray masks — no virtual dispatch, one VPU pass per lobe.
+
+All directions are in the local shading frame (+z = shading normal).
+Lobe selection is luminance-weighted (an improvement over the reference's
+uniform component choice; both are unbiased).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..utils import vecmath as vm
+from . import sampling as smp
+from ..scene.api import (
+    MAT_NONE, MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL,
+    MAT_UBER, MAT_SUBSTRATE, MAT_TRANSLUCENT,
+)
+
+INV_PI = 1.0 / jnp.pi
+
+
+class BsdfParams(NamedTuple):
+    kind: jnp.ndarray        # (N,) i32
+    kd: jnp.ndarray          # (N,3) diffuse
+    ks: jnp.ndarray          # (N,3) glossy
+    kr: jnp.ndarray          # (N,3) specular reflection
+    kt: jnp.ndarray          # (N,3) specular transmission
+    alpha: jnp.ndarray       # (N,) microfacet alpha (post roughness-remap)
+    eta: jnp.ndarray         # (N,) dielectric IOR
+    metal_eta: jnp.ndarray   # (N,3)
+    metal_k: jnp.ndarray     # (N,3)
+    sigma: jnp.ndarray       # (N,) oren-nayar sigma (degrees)
+
+
+def roughness_to_alpha(rough):
+    """(ref: microfacet.h TrowbridgeReitzDistribution::RoughnessToAlpha)."""
+    r = jnp.maximum(rough, 1e-3)
+    x = jnp.log(r)
+    return (1.62142 + 0.819955 * x + 0.1734 * x * x
+            + 0.0171201 * x ** 3 + 0.000640711 * x ** 4)
+
+
+def gather_params(scene, mat_id) -> BsdfParams:
+    g = lambda a: jnp.take(a, mat_id, axis=0)
+    rough = g(scene.mat_rough)
+    uro = g(scene.mat_urough)
+    rough = jnp.where(uro >= 0.0, jnp.where(uro > 0, uro, rough), rough)
+    remap = g(scene.mat_remap) > 0.5
+    alpha = jnp.where(remap, roughness_to_alpha(rough),
+                      jnp.maximum(rough, 1e-3))
+    return BsdfParams(
+        kind=g(scene.mat_kind),
+        kd=g(scene.mat_kd), ks=g(scene.mat_ks),
+        kr=g(scene.mat_kr), kt=g(scene.mat_kt),
+        alpha=alpha, eta=g(scene.mat_eta),
+        metal_eta=g(scene.mat_metal_eta), metal_k=g(scene.mat_metal_k),
+        sigma=g(scene.mat_sigma),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fresnel
+# ---------------------------------------------------------------------------
+
+def fr_dielectric(cos_i, eta_i, eta_t):
+    """(ref: reflection.cpp FrDielectric) — cos_i may be signed."""
+    entering = cos_i > 0.0
+    ei = jnp.where(entering, eta_i, eta_t)
+    et = jnp.where(entering, eta_t, eta_i)
+    ci = jnp.abs(jnp.clip(cos_i, -1.0, 1.0))
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - ci * ci))
+    sin_t = ei / et * sin_i
+    tir = sin_t >= 1.0
+    ct = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin_t * sin_t))
+    r_par = (et * ci - ei * ct) / jnp.maximum(et * ci + ei * ct, 1e-9)
+    r_perp = (ei * ci - et * ct) / jnp.maximum(ei * ci + et * ct, 1e-9)
+    fr = 0.5 * (r_par * r_par + r_perp * r_perp)
+    return jnp.where(tir, 1.0, fr)
+
+
+def fr_conductor(cos_i, eta, k):
+    """(ref: reflection.cpp FrConductor) — eta, k are (N,3) rgb."""
+    ci = jnp.clip(jnp.abs(cos_i), 0.0, 1.0)[..., None]
+    c2 = ci * ci
+    s2 = 1.0 - c2
+    e2 = eta * eta
+    k2 = k * k
+    t0 = e2 - k2 - s2
+    a2b2 = jnp.sqrt(jnp.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + c2
+    a = jnp.sqrt(jnp.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * ci
+    rs = (t1 - t2) / jnp.maximum(t1 + t2, 1e-9)
+    t3 = c2 * a2b2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * (t3 - t4) / jnp.maximum(t3 + t4, 1e-9)
+    return 0.5 * (rp + rs)
+
+
+def schlick_fresnel(rs, cos_i):
+    """(ref: reflection.h FresnelBlend::SchlickFresnel)."""
+    pw = jnp.power(jnp.clip(1.0 - cos_i, 0.0, 1.0), 5.0)[..., None]
+    return rs + pw * (1.0 - rs)
+
+
+# ---------------------------------------------------------------------------
+# Trowbridge-Reitz (GGX) microfacet distribution, isotropic
+# (ref: src/core/microfacet.cpp)
+# ---------------------------------------------------------------------------
+
+def _cos2(w):
+    return jnp.clip(w[..., 2] * w[..., 2], 0.0, 1.0)
+
+
+def tr_d(wh, alpha):
+    c2 = _cos2(wh)
+    s2 = jnp.maximum(1.0 - c2, 0.0)
+    a2 = alpha * alpha
+    e = c2 + s2 / jnp.maximum(a2, 1e-9)
+    d = 1.0 / (jnp.pi * a2 * jnp.maximum(e * e, 1e-12))
+    return jnp.where(c2 > 0.0, d, 0.0)
+
+
+def tr_lambda(w, alpha):
+    c2 = _cos2(w)
+    s2 = jnp.maximum(1.0 - c2, 0.0)
+    tan2 = s2 / jnp.maximum(c2, 1e-9)
+    return jnp.where(
+        c2 > 1e-9,
+        0.5 * (-1.0 + jnp.sqrt(jnp.maximum(1.0 + alpha * alpha * tan2, 0.0))),
+        1e9,
+    )
+
+
+def tr_g(wo, wi, alpha):
+    return 1.0 / (1.0 + tr_lambda(wo, alpha) + tr_lambda(wi, alpha))
+
+
+def tr_sample_wh(wo, u, alpha):
+    """Sample full NDF (isotropic).  The reference samples visible normals
+    (microfacet.cpp TrowbridgeReitzSample); both give unbiased estimators —
+    the pdf below matches this sampler."""
+    tan2 = alpha * alpha * u[..., 0] / jnp.maximum(1.0 - u[..., 0], 1e-9)
+    cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = 2.0 * jnp.pi * u[..., 1]
+    wh = vm.spherical_direction(sin_t, cos_t, phi)
+    # flip to wo's hemisphere
+    return jnp.where((wo[..., 2:3] * wh[..., 2:3]) < 0.0, -wh, wh)
+
+
+def tr_pdf(wo, wh, alpha):
+    return tr_d(wh, alpha) * jnp.abs(wh[..., 2])
+
+
+# ---------------------------------------------------------------------------
+# Lobe presence weights per material kind
+# ---------------------------------------------------------------------------
+
+def _lum(rgb):
+    return vm.luminance(jnp.maximum(rgb, 0.0))
+
+
+def _lobe_weights(p: BsdfParams):
+    """Returns per-lobe selection weights (N,4):
+    0 diffuse, 1 glossy-microfacet, 2 specular-reflect, 3 specular-transmit.
+    """
+    k = p.kind
+    w_d = jnp.where((k == MAT_MATTE) | (k == MAT_PLASTIC) | (k == MAT_UBER)
+                    | (k == MAT_SUBSTRATE) | (k == MAT_TRANSLUCENT),
+                    _lum(p.kd), 0.0)
+    w_g = jnp.where((k == MAT_PLASTIC) | (k == MAT_UBER)
+                    | (k == MAT_TRANSLUCENT), _lum(p.ks), 0.0)
+    w_g = jnp.where(k == MAT_METAL, 1.0, w_g)
+    w_g = jnp.where(k == MAT_SUBSTRATE, _lum(p.ks), w_g)
+    w_r = jnp.where((k == MAT_MIRROR) | (k == MAT_UBER), _lum(p.kr), 0.0)
+    w_r = jnp.where(k == MAT_GLASS, _lum(p.kr), w_r)
+    w_t = jnp.where(k == MAT_GLASS, _lum(p.kt), 0.0)
+    w = jnp.stack([w_d, w_g, w_r, w_t], axis=-1)
+    tot = jnp.sum(w, axis=-1, keepdims=True)
+    # default to diffuse when nothing present (black body)
+    w = jnp.where(tot > 0.0, w / jnp.maximum(tot, 1e-12), 0.0)
+    return w
+
+
+def _same_hemisphere(a, b):
+    return (a[..., 2] * b[..., 2]) > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Evaluate (non-specular lobes only, like BSDF::f with ~BSDF_SPECULAR)
+# ---------------------------------------------------------------------------
+
+def evaluate(p: BsdfParams, wo, wi):
+    """Returns (f (N,3), pdf (N,)) for non-delta lobes.
+
+    Mirrors BSDF::f + BSDF::Pdf (reflection.cpp:686, :776) with the lobe
+    model: pdf is the selection-weighted mix of lobe pdfs.
+    """
+    w = _lobe_weights(p)
+    refl = _same_hemisphere(wo, wi)
+    cos_o = jnp.abs(wo[..., 2])
+    cos_i = jnp.abs(wi[..., 2])
+
+    # diffuse lobe (lambert / oren-nayar, ref reflection.cpp OrenNayar::f)
+    sigma_rad = jnp.deg2rad(jnp.maximum(p.sigma, 0.0))
+    s2 = sigma_rad * sigma_rad
+    A = 1.0 - s2 / (2.0 * (s2 + 0.33))
+    B = 0.45 * s2 / (s2 + 0.09)
+    sin_o = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_o * cos_o))
+    sin_i = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_i * cos_i))
+    # max(0, cos(phi_i - phi_o))
+    denom_i = jnp.maximum(sin_i, 1e-9)
+    denom_o = jnp.maximum(sin_o, 1e-9)
+    cos_dphi = (wi[..., 0] * wo[..., 0] + wi[..., 1] * wo[..., 1]) / (
+        denom_i * denom_o)
+    max_cos = jnp.where((sin_i > 1e-4) & (sin_o > 1e-4),
+                        jnp.maximum(cos_dphi, 0.0), 0.0)
+    sin_alpha = jnp.maximum(sin_i, sin_o)
+    tan_beta = jnp.minimum(sin_i, sin_o) / jnp.maximum(
+        jnp.minimum(cos_i, cos_o), 1e-4)
+    on = A + B * max_cos * sin_alpha * tan_beta
+    f_diff = p.kd * (INV_PI * jnp.where(p.sigma > 0, on, 1.0))[..., None]
+    pdf_diff = smp.cosine_hemisphere_pdf(cos_i)
+
+    # glossy microfacet lobe
+    wh = wo + wi
+    wh_len = vm.length(wh)
+    wh = jnp.where((wh_len > 1e-9)[..., None], wh / jnp.maximum(wh_len, 1e-9)[..., None], 0.0)
+    d = tr_d(wh, p.alpha)
+    g = tr_g(wo, wi, p.alpha)
+    is_metal = p.kind == MAT_METAL
+    is_substrate = p.kind == MAT_SUBSTRATE
+    fr_d = fr_dielectric(vm.dot(wi, wh), jnp.ones_like(p.eta), p.eta)[..., None]
+    fr_c = fr_conductor(vm.dot(wi, wh), p.metal_eta, p.metal_k)
+    fr = jnp.where(is_metal[..., None], fr_c, fr_d)
+    spec_coef = jnp.where(is_metal[..., None], jnp.ones_like(p.ks), p.ks)
+    denom = 4.0 * jnp.maximum(cos_i * cos_o, 1e-7)
+    f_gloss = spec_coef * (d * g / denom)[..., None] * fr
+    # substrate FresnelBlend (ref: reflection.cpp FresnelBlend::f)
+    fb_diff = (28.0 / (23.0 * jnp.pi)) * p.kd * (1.0 - p.ks) * (
+        (1.0 - jnp.power(1.0 - 0.5 * cos_i, 5.0))
+        * (1.0 - jnp.power(1.0 - 0.5 * cos_o, 5.0))
+    )[..., None]
+    fb_spec = (d / (4.0 * jnp.maximum(jnp.abs(vm.dot(wi, wh)), 1e-7)
+                    * jnp.maximum(jnp.maximum(cos_i, cos_o), 1e-7)))[..., None] \
+        * schlick_fresnel(p.ks, vm.dot(wi, wh))
+    f_diff = jnp.where(is_substrate[..., None], fb_diff, f_diff)
+    f_gloss = jnp.where(is_substrate[..., None], fb_spec, f_gloss)
+    pdf_gloss = tr_pdf(wo, wh, p.alpha) / (
+        4.0 * jnp.maximum(jnp.abs(vm.dot(wo, wh)), 1e-7))
+    pdf_gloss = jnp.where(wh_len > 1e-9, pdf_gloss, 0.0)
+
+    valid_d = refl & (w[..., 0] > 0.0)
+    valid_g = refl & (w[..., 1] > 0.0) & (d > 0.0)
+    f = (jnp.where(valid_d[..., None], f_diff, 0.0)
+         + jnp.where(valid_g[..., None], f_gloss, 0.0))
+    pdf = (jnp.where(valid_d, w[..., 0] * pdf_diff, 0.0)
+           + jnp.where(valid_g, w[..., 1] * pdf_gloss, 0.0))
+    # renormalize pdf over non-delta lobes only (delta lobes are never
+    # evaluated here): the sampler picks them, so the pdf of arriving at a
+    # non-delta lobe is conditional — but for MIS weights the reference
+    # uses the unconditional Pdf over all components; weights w already sum
+    # to <=1 including delta lobes, matching BSDF::Pdf semantics
+    # (reflection.cpp:776: mean over all matching components).
+    return f, pdf
+
+
+class BsdfSample(NamedTuple):
+    wi: jnp.ndarray          # (N,3) local
+    f: jnp.ndarray           # (N,3)
+    pdf: jnp.ndarray         # (N,)
+    is_specular: jnp.ndarray  # (N,) bool (delta lobe sampled)
+    is_transmission: jnp.ndarray  # (N,) bool
+    valid: jnp.ndarray       # (N,) bool
+
+
+def sample(p: BsdfParams, wo, u_lobe, u2) -> BsdfSample:
+    """BSDF::Sample_f for the wavefront (ref: reflection.cpp:719).
+
+    u_lobe: (N,) lobe-choice uniform; u2: (N,2) direction sample.
+    """
+    w = _lobe_weights(p)
+    cdf = jnp.cumsum(w, axis=-1)
+    lobe = jnp.sum((u_lobe[..., None] > cdf).astype(jnp.int32), axis=-1)
+    lobe = jnp.clip(lobe, 0, 3)
+
+    cos_o = jnp.abs(wo[..., 2])
+    sign_o = jnp.where(wo[..., 2] >= 0.0, 1.0, -1.0)
+
+    # --- candidate: diffuse (cosine hemisphere on wo's side) ---
+    wi_d = smp.cosine_sample_hemisphere(u2)
+    wi_d = wi_d * jnp.stack([jnp.ones_like(sign_o), jnp.ones_like(sign_o),
+                             sign_o], axis=-1)
+
+    # --- candidate: glossy (sample wh, reflect) ---
+    wh = tr_sample_wh(wo, u2, p.alpha)
+    wi_g = vm.reflect(wo, wh)
+
+    # --- candidate: specular reflection ---
+    wi_r = jnp.stack([-wo[..., 0], -wo[..., 1], wo[..., 2]], axis=-1)
+
+    # --- candidate: specular transmission (ref: FresnelSpecular) ---
+    entering = wo[..., 2] > 0.0
+    eta_rel = jnp.where(entering, 1.0 / p.eta, p.eta)
+    n_face = jnp.stack([jnp.zeros_like(sign_o), jnp.zeros_like(sign_o),
+                        sign_o], axis=-1)
+    wi_t, t_ok = vm.refract(wo, n_face, eta_rel)
+
+    is_glass = p.kind == MAT_GLASS
+    # glass: choose reflect vs transmit by true Fresnel (overrides the
+    # luminance lobe choice between lobes 2/3, matching FresnelSpecular)
+    fr_g = fr_dielectric(wo[..., 2], jnp.ones_like(p.eta), p.eta)
+    glass_pick_refl = u_lobe < fr_g
+    lobe = jnp.where(is_glass, jnp.where(glass_pick_refl, 2, 3), lobe)
+
+    wi = jnp.where(
+        (lobe == 0)[..., None], wi_d,
+        jnp.where((lobe == 1)[..., None], wi_g,
+                  jnp.where((lobe == 2)[..., None], wi_r, wi_t)))
+
+    is_delta = lobe >= 2
+    # f & pdf for smooth lobes via evaluate()
+    f_sm, pdf_sm = evaluate(p, wo, wi)
+
+    cos_i = jnp.abs(wi[..., 2])
+    # delta reflect
+    fr_mirror = jnp.ones_like(p.kr)
+    fr_sr = jnp.where(is_glass[..., None],
+                      fr_g[..., None],
+                      jnp.where((p.kind == MAT_UBER)[..., None],
+                                fr_dielectric(wo[..., 2],
+                                              jnp.ones_like(p.eta),
+                                              p.eta)[..., None],
+                                fr_mirror))
+    f_r = p.kr * fr_sr / jnp.maximum(cos_i, 1e-7)[..., None]
+    pdf_r = jnp.where(is_glass, fr_g, w[..., 2])
+    # delta transmit: ft = kt (1-F) / |cos| * (1/eta_rel)^2 (radiance
+    # transport scaling, ref reflection.cpp SpecularTransmission::Sample_f)
+    scale_t = (1.0 / jnp.maximum(eta_rel, 1e-6)) ** 2
+    f_t = p.kt * ((1.0 - fr_g) * scale_t / jnp.maximum(cos_i, 1e-7))[..., None]
+    pdf_t = 1.0 - fr_g
+
+    f = jnp.where(is_delta[..., None],
+                  jnp.where((lobe == 2)[..., None], f_r, f_t), f_sm)
+    pdf = jnp.where(is_delta,
+                    jnp.where(lobe == 2, pdf_r, pdf_t), pdf_sm)
+
+    valid = pdf > 0.0
+    valid = valid & jnp.where(lobe == 3, t_ok, True)
+    valid = valid & jnp.where(lobe <= 1, _same_hemisphere(wo, wi), True)
+    valid = valid & (cos_o > 0.0)
+    return BsdfSample(
+        wi=wi, f=f, pdf=pdf,
+        is_specular=is_delta,
+        is_transmission=(lobe == 3),
+        valid=valid,
+    )
+
+
+def has_nonspecular(p: BsdfParams):
+    """True when the material has any non-delta component (ref:
+    bsdf->NumComponents(~SPECULAR) > 0 checks)."""
+    w = _lobe_weights(p)
+    return (w[..., 0] + w[..., 1]) > 0.0
+
+
+def is_black(p: BsdfParams):
+    w = _lobe_weights(p)
+    tot = _lum(p.kd) + _lum(p.ks) + _lum(p.kr) + _lum(p.kt) + \
+        jnp.where(p.kind == MAT_METAL, 1.0, 0.0)
+    return (tot <= 0.0) | (p.kind == MAT_NONE)

@@ -1,0 +1,230 @@
+"""Wavefront light sampling, pdfs, and emitted-radiance evaluation.
+
+Semantics follow the reference's light plugins (ref: src/lights/point.cpp,
+spot.cpp, distant.cpp, diffuse.cpp, infinite.cpp) and shape sampling
+(src/shapes/triangle.cpp:Sample, sphere.cpp:Sample cone sampling), with
+two wavefront-driven deviations, both unbiased:
+- a triangle-mesh area light is ONE light with an area-weighted CDF over
+  its triangles (the reference makes one light per triangle);
+- the constant-color infinite light is sampled uniformly over the sphere.
+All masks, no dispatch.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..utils import vecmath as vm
+from . import sampling as smp
+from ..scene.api import (
+    LIGHT_POINT, LIGHT_DISTANT, LIGHT_INFINITE, LIGHT_AREA_TRI,
+    LIGHT_AREA_SPHERE, LIGHT_SPOT,
+)
+
+
+class LightSample(NamedTuple):
+    wi: jnp.ndarray        # (N,3) unit, towards light
+    li: jnp.ndarray        # (N,3) incident radiance (pre-visibility)
+    pdf: jnp.ndarray       # (N,) solid-angle pdf (w.r.t. chosen light)
+    dist: jnp.ndarray      # (N,) distance to light point (shadow ray tmax)
+    is_delta: jnp.ndarray  # (N,) delta light (no MIS vs bsdf)
+
+
+def choose_light(scene, u):
+    """Uniform light selection (ref: integrator.cpp:85
+    UniformSampleOneLight).  Returns (light_id, select_pdf)."""
+    nl = jnp.maximum(scene.n_lights, 1)
+    idx = jnp.minimum((u * nl).astype(jnp.int32), nl - 1)
+    pdf = 1.0 / nl.astype(jnp.float32)
+    return idx, jnp.full(u.shape, pdf)
+
+
+def _sample_light_triangle(scene, light_id, u):
+    """Area-weighted triangle pick within a light's range via masked
+    search over the flat per-light CDF (K is small)."""
+    K = scene.ltri_cdf.shape[0]
+    off = jnp.take(scene.light_tri_off, light_id)     # (N,)
+    cnt = jnp.take(scene.light_tri_cnt, light_id)
+    j = jnp.arange(K)[None, :]                        # (1,K)
+    in_range = (j >= off[:, None]) & (j < (off + cnt)[:, None])
+    ge = in_range & (scene.ltri_cdf[None, :] >= u[:, None])
+    # first triangle whose cdf >= u (cdf is per-light normalized)
+    big = jnp.where(ge, j, K)
+    tri = jnp.min(big, axis=-1)
+    tri = jnp.where(tri >= K, jnp.maximum(off + cnt - 1, 0), tri)
+    return jnp.clip(tri, 0, K - 1)
+
+
+def sample_li(scene, light_id, p_ref, u3) -> LightSample:
+    """Light::Sample_Li for the wavefront. u3: (N,3) uniforms
+    (tri pick + 2D point sample)."""
+    N = p_ref.shape[0]
+    g = lambda a: jnp.take(a, light_id, axis=0)
+    kind = g(scene.light_kind)
+    L = g(scene.light_L)
+    pos = g(scene.light_pos)
+    ldir = g(scene.light_dir)
+    two_sided = g(scene.light_two_sided) > 0.5
+
+    u2 = u3[:, 1:3]
+
+    # ---- point / spot ----
+    to_l = pos - p_ref
+    d2 = jnp.maximum(vm.length_sq(to_l), 1e-12)
+    dist_p = jnp.sqrt(d2)
+    wi_p = to_l / dist_p[:, None]
+    li_point = L / d2[:, None]
+    # spot falloff (ref: spot.cpp Falloff)
+    cos_t = vm.dot(-wi_p, ldir)
+    ct, cf = g(scene.light_cos_total), g(scene.light_cos_falloff)
+    delta_f = jnp.clip((cos_t - ct) / jnp.maximum(cf - ct, 1e-9), 0.0, 1.0)
+    falloff = jnp.where(cos_t >= cf, 1.0,
+                        jnp.where(cos_t <= ct, 0.0, (delta_f ** 2) ** 2))
+    li_spot = li_point * falloff[:, None]
+
+    # ---- distant ----
+    wi_d = ldir
+    dist_d = jnp.full(N, 2.0) * scene.world_radius
+
+    # ---- infinite (constant color) ----
+    wi_i = smp.uniform_sample_sphere(u2)
+    pdf_i = jnp.full(N, smp.INV_4PI)
+    dist_i = jnp.full(N, 2.0) * scene.world_radius
+
+    # ---- area triangle ----
+    tri = _sample_light_triangle(scene, light_id, u3[:, 0])
+    b = smp.uniform_sample_triangle(u2)
+    p0 = jnp.take(scene.ltri_p0, tri, axis=0)
+    e1 = jnp.take(scene.ltri_e1, tri, axis=0)
+    e2 = jnp.take(scene.ltri_e2, tri, axis=0)
+    n_l = jnp.take(scene.ltri_ng, tri, axis=0)
+    p_l = p0 + b[:, 0:1] * e1 + b[:, 1:2] * e2
+    to_t = p_l - p_ref
+    d2_t = jnp.maximum(vm.length_sq(to_t), 1e-12)
+    dist_t = jnp.sqrt(d2_t)
+    wi_t = to_t / dist_t[:, None]
+    area = jnp.maximum(g(scene.light_area), 1e-12)
+    cos_l = vm.dot(n_l, -wi_t)
+    emit_t = two_sided | (cos_l > 0.0)
+    pdf_t = d2_t / jnp.maximum(jnp.abs(cos_l) * area, 1e-12)
+    li_t = jnp.where(emit_t[:, None], L, 0.0)
+    pdf_t = jnp.where(jnp.abs(cos_l) > 1e-7, pdf_t, 0.0)
+
+    # ---- area sphere (cone sampling, ref sphere.cpp:Sample(ref,u)) ----
+    sph = jnp.clip(g(scene.light_sphere), 0, scene.sph_center.shape[0] - 1)
+    c = jnp.take(scene.sph_center, sph, axis=0)
+    r = jnp.take(scene.sph_radius, sph)
+    to_c = c - p_ref
+    dc2 = jnp.maximum(vm.length_sq(to_c), 1e-12)
+    dc = jnp.sqrt(dc2)
+    outside = dc2 > r * r
+    sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    wz = to_c / dc[:, None]
+    tx, ty = vm.coordinate_system(wz)
+    w_cone = smp.uniform_sample_cone(u2, cos_max)
+    wi_s = vm.to_world(w_cone, tx, ty, wz)
+    # distance to sphere surface along wi_s
+    cos_alpha = w_cone[..., 2]
+    ds = dc * cos_alpha - jnp.sqrt(jnp.maximum(
+        r * r - dc2 * (1.0 - cos_alpha ** 2), 0.0))
+    pdf_s = smp.uniform_cone_pdf(cos_max)
+    # inside the sphere: uniform area sampling fallback
+    n_in = smp.uniform_sample_sphere(u2)
+    p_in = c + r[:, None] * n_in
+    to_in = p_in - p_ref
+    d2_in = jnp.maximum(vm.length_sq(to_in), 1e-12)
+    dist_in = jnp.sqrt(d2_in)
+    wi_in = to_in / dist_in[:, None]
+    cos_in = vm.dot(n_in, -wi_in)
+    pdf_in = d2_in / jnp.maximum(
+        jnp.abs(cos_in) * 4.0 * jnp.pi * r * r, 1e-12)
+    wi_s = jnp.where(outside[:, None], wi_s, wi_in)
+    pdf_s = jnp.where(outside, pdf_s, pdf_in)
+    ds = jnp.where(outside, ds, dist_in)
+    li_s = L  # sphere emits outward everywhere
+
+    is_pt = kind == LIGHT_POINT
+    is_spot = kind == LIGHT_SPOT
+    is_dist = kind == LIGHT_DISTANT
+    is_inf = kind == LIGHT_INFINITE
+    is_tri = kind == LIGHT_AREA_TRI
+    is_sph = kind == LIGHT_AREA_SPHERE
+
+    def sel(*pairs, default):
+        out = default
+        for m, v in pairs:
+            if v.ndim > m.ndim:
+                m = m[..., None]
+            out = jnp.where(m, v, out)
+        return out
+
+    wi = sel((is_pt | is_spot, wi_p), (is_dist, wi_d), (is_inf, wi_i),
+             (is_tri, wi_t), (is_sph, wi_s), default=wi_i)
+    li = sel((is_pt, li_point), (is_spot, li_spot), (is_dist, L),
+             (is_inf, L), (is_tri, li_t), (is_sph, li_s), default=L)
+    pdf = sel((is_pt | is_spot | is_dist, jnp.ones(N)), (is_inf, pdf_i),
+              (is_tri, pdf_t), (is_sph, pdf_s), default=jnp.ones(N))
+    dist = sel((is_pt | is_spot, dist_p), (is_dist | is_inf, dist_i),
+               (is_tri, dist_t), (is_sph, ds), default=dist_i)
+    is_delta = is_pt | is_spot | is_dist
+    return LightSample(wi=wi, li=li, pdf=pdf, dist=dist, is_delta=is_delta)
+
+
+def pdf_li(scene, light_id, p_ref, wi, hit_t, hit_cos):
+    """Light::Pdf_Li for a bsdf-sampled direction that HIT the light
+    (area lights) or escaped (infinite).  hit_t: distance to the emissive
+    hit; hit_cos: |cos| at the light surface."""
+    g = lambda a: jnp.take(a, light_id, axis=0)
+    kind = g(scene.light_kind)
+    area = jnp.maximum(g(scene.light_area), 1e-12)
+    pdf_tri = (hit_t * hit_t) / jnp.maximum(hit_cos * area, 1e-12)
+
+    sph = jnp.clip(g(scene.light_sphere), 0, scene.sph_center.shape[0] - 1)
+    c = jnp.take(scene.sph_center, sph, axis=0)
+    r = jnp.take(scene.sph_radius, sph)
+    dc2 = jnp.maximum(vm.length_sq(c - p_ref), 1e-12)
+    outside = dc2 > r * r
+    sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_max))
+    pdf_sph_out = smp.uniform_cone_pdf(cos_max)
+    pdf_sph_in = (hit_t * hit_t) / jnp.maximum(
+        hit_cos * 4.0 * jnp.pi * r * r, 1e-12)
+    pdf_sph = jnp.where(outside, pdf_sph_out, pdf_sph_in)
+
+    pdf = jnp.where(kind == LIGHT_AREA_TRI, pdf_tri,
+                    jnp.where(kind == LIGHT_AREA_SPHERE, pdf_sph,
+                              jnp.where(kind == LIGHT_INFINITE,
+                                        smp.INV_4PI, 0.0)))
+    return pdf
+
+
+def area_light_le(scene, light_id, n_l, w_out):
+    """Emitted radiance of an area light towards w_out (ref:
+    diffuse.cpp DiffuseAreaLight::L)."""
+    g = lambda a: jnp.take(a, light_id, axis=0)
+    L = g(scene.light_L)
+    two_sided = g(scene.light_two_sided) > 0.5
+    lit = two_sided | (vm.dot(n_l, w_out) > 0.0)
+    valid_area = (g(scene.light_kind) == LIGHT_AREA_TRI) | \
+        (g(scene.light_kind) == LIGHT_AREA_SPHERE)
+    return jnp.where((lit & valid_area & (light_id >= 0))[:, None], L, 0.0)
+
+
+def environment_le(scene, d):
+    """Radiance from infinite lights for escaped rays (ref:
+    infinite.cpp InfiniteAreaLight::Le). Sums all infinite lights."""
+    L = scene.light_kind.shape[0]
+    is_inf = scene.light_kind == LIGHT_INFINITE
+    live = jnp.arange(L) < scene.n_lights
+    total = jnp.sum(
+        jnp.where((is_inf & live)[:, None], scene.light_L, 0.0), axis=0)
+    return jnp.broadcast_to(total, d.shape)
+
+
+def has_infinite(scene):
+    L = scene.light_kind.shape[0]
+    live = jnp.arange(L) < scene.n_lights
+    return jnp.any((scene.light_kind == LIGHT_INFINITE) & live)
