@@ -66,6 +66,7 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None):
     if cfg is None:
         cfg = make_integrator_config(sd)
     has_lens = sd.camera.lens_radius > 0.0
+    cam_kind = camlib.KIND.get(sd.camera.kind, 0)
 
     def run(scene, cam, key, pass_idx):
         px = jnp.arange(W, dtype=jnp.float32)
@@ -80,7 +81,7 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None):
         if has_lens:
             kl = smplr.wave_key(k, 0, 0, smplr.DIM_LENS)
             u_lens = smplr.uniform(kl, (H * W, 2))
-        o, d = camlib.generate_rays(cam, p_film, u_lens)
+        o, d = camlib.generate_rays(cam, p_film, u_lens, kind=cam_kind)
         L, aux = pathlib_.trace_paths(scene, o, d, k, cfg)
         return (L.reshape(H, W, 3), jitter.reshape(H, W, 2), aux["rays"])
 

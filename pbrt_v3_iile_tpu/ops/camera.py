@@ -23,7 +23,6 @@ from . import sampling as smp
 
 
 class Camera(NamedTuple):
-    kind: int                    # 0 perspective, 1 orthographic, 2 environment
     cam_to_world: jnp.ndarray    # (4,4)
     raster_to_camera: jnp.ndarray  # (4,4)
     lens_radius: jnp.ndarray     # ()
@@ -55,7 +54,6 @@ def make_camera(desc, film) -> Camera:
         c2s = xf.perspective(desc.fov, 1e-2, 1000.0)
     r2c = xf.inverse(c2s) @ xf.inverse(s2r)
     return Camera(
-        kind=KIND.get(desc.kind, 0),
         cam_to_world=jnp.asarray(desc.cam_to_world, jnp.float32),
         raster_to_camera=jnp.asarray(r2c, jnp.float32),
         lens_radius=jnp.float32(desc.lens_radius),
@@ -74,9 +72,12 @@ def _apply44_vector(m, v):
     return v @ m[:3, :3].T
 
 
-def generate_rays(cam: Camera, p_film: jnp.ndarray, u_lens=None):
+def generate_rays(cam: Camera, p_film: jnp.ndarray, u_lens=None,
+                  kind: int = 0):
     """p_film: (N,2) raster-space sample positions (x, y).
 
+    kind is STATIC (0 perspective, 1 ortho, 2 environment) — pass it from
+    the scene description, not from the (traced) camera pytree.
     Returns (o, d) world-space rays. (ref: perspective.cpp:GenerateRay)
     """
     N = p_film.shape[0]
@@ -84,10 +85,10 @@ def generate_rays(cam: Camera, p_film: jnp.ndarray, u_lens=None):
         cam.raster_to_camera,
         jnp.concatenate([p_film, jnp.zeros((N, 1), p_film.dtype)], axis=-1),
     )
-    if cam.kind == 1:  # orthographic
+    if kind == 1:  # orthographic
         o_cam = p_cam
         d_cam = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (N, 3))
-    elif cam.kind == 2:  # environment (equirect full sphere)
+    elif kind == 2:  # environment (equirect full sphere)
         res = cam.resolution.astype(jnp.float32)
         theta = jnp.pi * p_film[:, 1] / res[1]
         phi = 2.0 * jnp.pi * p_film[:, 0] / res[0]
