@@ -186,7 +186,8 @@ def make_task_fns(sd, hemi_size: int, ts: int, net, use_pallas=False):
                                      1e-12)                   # (Np, 4)
 
         # ---- per-pixel shading data ----
-        params = bsdflib.gather_params(scene, jnp.maximum(ff["mat"], 0))
+        params = bsdflib.gather_params(scene, jnp.maximum(ff["mat"], 0),
+                                       uv=ff["uv"], p=ff["p"])
         ns = ff["n"]
         t_f, b_f = vm.coordinate_system(ns)
         wo_l = vm.to_local(ff["wo"], t_f, b_f, ns)

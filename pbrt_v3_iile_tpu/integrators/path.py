@@ -40,6 +40,10 @@ class PathConfig(NamedTuple):
                                       # (ref: directlighting.cpp WhittedLike)
     skip_bounce0_le: bool = False     # IILE probe mode (iispt_d.cpp:116)
     use_pallas: bool = False
+    differentiable: bool = False      # detached-sampling gradient mode:
+                                      # freeze path geometry + sampling
+                                      # decisions, differentiate shading
+                                      # (see integrators/grad.py)
 
 
 def _mis_or_one(use_mis, prev_pdf, light_pdf):
@@ -78,9 +82,14 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
         k_dir = smplr.wave_key(key, 0, bounce, smplr.DIM_BSDF_DIR)
         k_rr = smplr.wave_key(key, 0, bounce, smplr.DIM_RR)
 
+        sg = (jax.lax.stop_gradient if cfg.differentiable
+              else (lambda x: x))
         t_max = jnp.full(N, 1e30, jnp.float32)
+        o, d = sg(o), sg(d)  # path geometry frozen in differentiable mode
         hit = isect.intersect(scene, o, d, t_max, use_pallas=cfg.use_pallas)
+        hit = jax.tree.map(sg, hit)
         it = isect.make_interaction(scene, o, d, hit)
+        it = jax.tree.map(sg, it)
         ray_count = ray_count + jnp.sum(alive)
 
         found = hit.valid & alive
@@ -127,7 +136,8 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
         ng_f = vm.face_forward(it.ng, -d)   # geometric normal towards viewer
         t_f, b_f = vm.coordinate_system(ns)
         wo_l = vm.to_local(it.wo, t_f, b_f, ns)
-        params = bsdflib.gather_params(scene, jnp.maximum(it.mat, 0))
+        params = bsdflib.gather_params(scene, jnp.maximum(it.mat, 0),
+                                       uv=it.uv, p=it.p)
         black = bsdflib.is_black(params)
         alive = alive & (~black)
 
@@ -136,6 +146,7 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
             ls = lightlib.sample_li(scene, light_id, it.p, u_l)
             wi_l = vm.to_local(ls.wi, t_f, b_f, ns)
             f_l, scat_pdf = bsdflib.evaluate(params, wo_l, wi_l)
+            scat_pdf = sg(scat_pdf)
             cos_l = vm.absdot(ls.wi, ns)
             can_nee = alive & bsdflib.has_nonspecular(params) & \
                 (ls.pdf > 0.0) & (vm.luminance(ls.li) > 0.0) & \
@@ -169,9 +180,12 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
         u_lobe = smplr.uniform(k_lobe, (N,))
         u_dir = smplr.uniform(k_dir, (N, 2))
         bs = bsdflib.sample(params, wo_l, u_lobe, u_dir)
-        wi_w = vm.to_world(bs.wi, t_f, b_f, ns)
-        cos_w = vm.absdot(wi_w, ns)
-        beta_new = beta * bs.f * (cos_w / jnp.maximum(bs.pdf, 1e-12))[:, None]
+        # detached sampling: the sampled direction and its pdf are frozen;
+        # bs.f stays attached so d(beta)/d(material) flows
+        wi_w = sg(vm.to_world(bs.wi, t_f, b_f, ns))
+        cos_w = sg(vm.absdot(wi_w, ns))
+        beta_new = beta * bs.f * (cos_w / jnp.maximum(sg(bs.pdf),
+                                                      1e-12))[:, None]
         ok = bs.valid & alive & (vm.luminance(jnp.abs(beta_new)) > 0.0) & \
             jnp.isfinite(vm.luminance(beta_new))
         beta = jnp.where(ok[:, None], beta_new, beta)
@@ -182,7 +196,7 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
             # pick up emissive hits with MIS weight
             ghost = alive & (~bs.is_specular)
         spec = bs.is_specular
-        prev_pdf = jnp.where(bs.is_specular, 1.0, bs.pdf)
+        prev_pdf = sg(jnp.where(bs.is_specular, 1.0, bs.pdf))
 
         # refraction radiance scaling bookkeeping (path.cpp:160-168)
         eta_rel = jnp.where(vm.dot(it.wo, it.ng) > 0.0,
@@ -194,7 +208,7 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
         d = wi_w
 
         # ---------- russian roulette (path.cpp:185-192) ----------
-        rr_beta_max = vm.max_component(beta * eta_scale[:, None])
+        rr_beta_max = sg(vm.max_component(beta * eta_scale[:, None]))
         do_rr = (rr_beta_max < cfg.rr_threshold) & (bounce > cfg.rr_start)
         q = jnp.maximum(0.05, 1.0 - rr_beta_max)
         u_rr = smplr.uniform(k_rr, (N,))

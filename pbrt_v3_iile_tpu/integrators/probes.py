@@ -101,7 +101,8 @@ def find_first_nonspecular(scene, o, d, key, max_chase: int = 8,
     N = o.shape[0]
 
     def body(carry, i):
-        (o, d, beta, alive, found, p, n, wo, mat, background, emitted) = carry
+        (o, d, beta, alive, found, p, n, wo, mat, uv, background,
+         emitted) = carry
         t_max = jnp.full(N, 1e30, jnp.float32)
         hit = isect.intersect(scene, o, d, t_max, use_pallas=use_pallas)
         it = isect.make_interaction(scene, o, d, hit)
@@ -116,7 +117,8 @@ def find_first_nonspecular(scene, o, d, key, max_chase: int = 8,
         emitted = emitted + jnp.where(
             (alive & hit.valid & (it.light >= 0))[:, None], beta * le, 0.0)
 
-        params = bsdflib.gather_params(scene, jnp.maximum(it.mat, 0))
+        params = bsdflib.gather_params(scene, jnp.maximum(it.mat, 0),
+                                       uv=it.uv, p=it.p)
         is_spec = (params.kind == MAT_MIRROR) | (params.kind == MAT_GLASS)
         stop_here = alive & hit.valid & (~is_spec)
 
@@ -126,6 +128,7 @@ def find_first_nonspecular(scene, o, d, key, max_chase: int = 8,
         n = jnp.where(stop_here[:, None], n_out, n)
         wo = jnp.where(stop_here[:, None], it.wo, wo)
         mat = jnp.where(stop_here, it.mat, mat)
+        uv = jnp.where(stop_here[:, None], it.uv, uv)
         found = found | stop_here
 
         # follow specular bounce
@@ -147,17 +150,18 @@ def find_first_nonspecular(scene, o, d, key, max_chase: int = 8,
                       vm.offset_ray_origin(it.p, n_out, wi_w), o)
         d = jnp.where(ok[:, None], wi_w, d)
         alive = ok
-        return (o, d, beta, alive, found, p, n, wo, mat, background,
+        return (o, d, beta, alive, found, p, n, wo, mat, uv, background,
                 emitted), None
 
     carry0 = (
         o, d, jnp.ones((N, 3), jnp.float32), jnp.ones(N, bool),
         jnp.zeros(N, bool), jnp.zeros((N, 3), jnp.float32),
         jnp.zeros((N, 3), jnp.float32), jnp.zeros((N, 3), jnp.float32),
-        jnp.zeros(N, jnp.int32), jnp.zeros((N, 3), jnp.float32),
-        jnp.zeros((N, 3), jnp.float32),
+        jnp.zeros(N, jnp.int32), jnp.zeros((N, 2), jnp.float32),
+        jnp.zeros((N, 3), jnp.float32), jnp.zeros((N, 3), jnp.float32),
     )
     carry, _ = jax.lax.scan(body, carry0, jnp.arange(max_chase))
-    (o, d, beta, alive, found, p, n, wo, mat, background, emitted) = carry
-    return dict(found=found, p=p, n=n, wo=wo, mat=mat, beta=beta,
+    (o, d, beta, alive, found, p, n, wo, mat, uv, background,
+     emitted) = carry
+    return dict(found=found, p=p, n=n, wo=wo, mat=mat, uv=uv, beta=beta,
                 background=background, emitted=emitted)

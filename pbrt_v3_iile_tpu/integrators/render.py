@@ -57,41 +57,49 @@ def build(sd: apilib.SceneDesc, use_native_bvh: bool = True):
     return scene, cam
 
 
-def render_pass_fn(sd: apilib.SceneDesc, cfg=None):
-    """Returns jittable f(scene, cam, key, pass_idx) -> (L (H,W,3),
-    jitter (H,W,2), rays ()).  Scene/camera are arguments (not closure
-    constants) so device arrays stay resident instead of being baked into
-    the compiled program."""
+def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
+    """Returns jittable f(scene, cam, key, pass_idx[, row0]) ->
+    (L, jitter, rays).
+
+    With chunk_rows == 0 the wave covers the whole image: L is (H,W,3).
+    With chunk_rows > 0 the wave covers rows [row0, row0+chunk_rows): L is
+    (chunk_rows, W, 3) — bounded device programs (the TPU wave budget).
+    Scene/camera are arguments (not closure constants) so device arrays
+    stay resident instead of being baked into the compiled program."""
     H, W = sd.film.y_resolution, sd.film.x_resolution
     if cfg is None:
         cfg = make_integrator_config(sd)
     has_lens = sd.camera.lens_radius > 0.0
     cam_kind = camlib.KIND.get(sd.camera.kind, 0)
+    CH = chunk_rows if chunk_rows > 0 else H
 
-    def run(scene, cam, key, pass_idx):
+    def run(scene, cam, key, pass_idx, row0=0):
         px = jnp.arange(W, dtype=jnp.float32)
-        py = jnp.arange(H, dtype=jnp.float32)
-        gx, gy = jnp.meshgrid(px, py)          # (H,W)
+        py = row0 + jnp.arange(CH, dtype=jnp.float32)
+        gx, gy = jnp.meshgrid(px, py)          # (CH,W)
         pix = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
-        k = jax.random.fold_in(key, pass_idx)
+        k = jax.random.fold_in(jax.random.fold_in(key, pass_idx), row0)
         kj = smplr.wave_key(k, 0, 0, smplr.DIM_PIXEL_JITTER)
-        jitter = smplr.uniform(kj, (H * W, 2))
+        jitter = smplr.uniform(kj, (CH * W, 2))
         p_film = pix + jitter
         u_lens = None
         if has_lens:
             kl = smplr.wave_key(k, 0, 0, smplr.DIM_LENS)
-            u_lens = smplr.uniform(kl, (H * W, 2))
+            u_lens = smplr.uniform(kl, (CH * W, 2))
         o, d = camlib.generate_rays(cam, p_film, u_lens, kind=cam_kind)
         L, aux = pathlib_.trace_paths(scene, o, d, k, cfg)
-        return (L.reshape(H, W, 3), jitter.reshape(H, W, 2), aux["rays"])
+        return (L.reshape(CH, W, 3), jitter.reshape(CH, W, 2), aux["rays"])
 
     return run
 
 
 def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
            use_pallas: bool = False, use_native_bvh: bool = True,
-           report=None):
-    """Full render; returns (image (H,W,3) np.ndarray, stats dict)."""
+           max_wave: int = 1 << 17, report=None):
+    """Full render; returns (image (H,W,3) np.ndarray, stats dict).
+
+    Waves are bounded to ~max_wave rays (row chunks) so each device
+    program stays within the TPU step budget."""
     import time
 
     scene, cam = build(sd, use_native_bvh=use_native_bvh)
@@ -99,7 +107,13 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
     H, W = sd.film.y_resolution, sd.film.x_resolution
     spp = spp if spp is not None else sd.sampler.pixel_samples
 
-    run = jax.jit(render_pass_fn(sd, cfg))
+    chunk_rows = 0
+    if H * W > max_wave:
+        chunk_rows = max(1, max_wave // W)
+        while H % chunk_rows:
+            chunk_rows -= 1
+    run = jax.jit(render_pass_fn(sd, cfg, chunk_rows=chunk_rows),
+                  static_argnums=(4,))
     key = jax.random.PRNGKey(seed)
 
     film = filmlib.new_film(H, W)
@@ -110,12 +124,23 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
         alpha=sd.film.filter_alpha, B=sd.film.filter_b, C=sd.film.filter_c,
         tau=sd.film.filter_tau))
 
+    CH = chunk_rows if chunk_rows else H
     total_rays = 0
     t0 = time.time()
     for p in range(spp):
-        L, jitter, rays = run(scene, cam, key, p)
+        if chunk_rows:
+            Ls, Js = [], []
+            for row0 in range(0, H, CH):
+                L, jitter, rays = run(scene, cam, key, p, row0)
+                Ls.append(L)
+                Js.append(jitter)
+                total_rays += int(rays)
+            L = jnp.concatenate(Ls, axis=0)
+            jitter = jnp.concatenate(Js, axis=0)
+        else:
+            L, jitter, rays = run(scene, cam, key, p, 0)
+            total_rays += int(rays)
         film = add(film, L, jitter)
-        total_rays += int(rays)
         if report is not None:
             report(p + 1, spp, film)
     img = np.asarray(filmlib.resolve(film))

@@ -49,21 +49,47 @@ def roughness_to_alpha(rough):
             + 0.0171201 * x ** 3 + 0.000640711 * x ** 4)
 
 
-def gather_params(scene, mat_id) -> BsdfParams:
+def gather_params(scene, mat_id, uv=None, p=None) -> BsdfParams:
+    """Material SoA gather + texture evaluation at the hit
+    (ref: Material::ComputeScatteringFunctions evaluating Texture::Evaluate,
+    src/materials/matte.cpp:46 etc.).  uv (N,2) / p (N,3) enable textured
+    slots; without them constants are used."""
+    from ..scene import textures as texlib
+
     g = lambda a: jnp.take(a, mat_id, axis=0)
     rough = g(scene.mat_rough)
     uro = g(scene.mat_urough)
     rough = jnp.where(uro >= 0.0, jnp.where(uro > 0, uro, rough), rough)
+    kd = g(scene.mat_kd)
+    ks = g(scene.mat_ks)
+    sigma = g(scene.mat_sigma)
+    if uv is not None and int(scene.textures.kind.shape[0]) > 1:
+        if p is None:
+            p = jnp.zeros(uv.shape[:-1] + (3,), uv.dtype)
+        kd_t = g(scene.mat_kd_tex)
+        ks_t = g(scene.mat_ks_tex)
+        sg_t = g(scene.mat_sigma_tex)
+        ro_t = g(scene.mat_rough_tex)
+        kd = jnp.where((kd_t >= 0)[..., None],
+                       texlib.eval_texture(scene.textures, kd_t, uv, p), kd)
+        ks = jnp.where((ks_t >= 0)[..., None],
+                       texlib.eval_texture(scene.textures, ks_t, uv, p), ks)
+        sigma = jnp.where(
+            sg_t >= 0,
+            texlib.eval_texture(scene.textures, sg_t, uv, p)[..., 0], sigma)
+        rough = jnp.where(
+            ro_t >= 0,
+            texlib.eval_texture(scene.textures, ro_t, uv, p)[..., 0], rough)
     remap = g(scene.mat_remap) > 0.5
     alpha = jnp.where(remap, roughness_to_alpha(rough),
                       jnp.maximum(rough, 1e-3))
     return BsdfParams(
         kind=g(scene.mat_kind),
-        kd=g(scene.mat_kd), ks=g(scene.mat_ks),
+        kd=kd, ks=ks,
         kr=g(scene.mat_kr), kt=g(scene.mat_kt),
         alpha=alpha, eta=g(scene.mat_eta),
         metal_eta=g(scene.mat_metal_eta), metal_k=g(scene.mat_metal_k),
-        sigma=g(scene.mat_sigma),
+        sigma=sigma,
     )
 
 

@@ -81,11 +81,14 @@ def intersect_bvh(scene, o, d, t_max, any_hit: bool = False) -> Hit:
         active = node >= 0
         nid = jnp.maximum(node, 0)
 
-        nmin = jnp.take(scene.node_min, nid, axis=0)   # (N,3)
-        nmax = jnp.take(scene.node_max, nid, axis=0)
-        nright = jnp.take(scene.node_right, nid)
-        ncount = jnp.take(scene.node_count, nid)
-        naxis = jnp.take(scene.node_axis, nid)
+        # one contiguous-row gather per step (packed layout)
+        nd = jnp.take(scene.nodes_packed, nid, axis=0)  # (N,8)
+        nmin = nd[:, 0:3]
+        nmax = nd[:, 3:6]
+        nright = jax.lax.bitcast_convert_type(nd[:, 6], jnp.int32)
+        meta = jax.lax.bitcast_convert_type(nd[:, 7], jnp.int32)
+        ncount = meta >> 2
+        naxis = meta & 3
 
         # slab test against [0, t]
         tlo = (nmin - o) * inv_d
@@ -103,10 +106,9 @@ def intersect_bvh(scene, o, d, t_max, any_hit: bool = False) -> Hit:
             pid = nright + k
             m = leaf_hit & (k < ncount)
             pidc = jnp.maximum(pid, 0)
-            p0 = jnp.take(scene.tri_p0, pidc, axis=0)
-            e1 = jnp.take(scene.tri_e1, pidc, axis=0)
-            e2 = jnp.take(scene.tri_e2, pidc, axis=0)
-            tv, tt, tu, tvv = _moller(o, d, p0, e1, e2, t)
+            tr = jnp.take(scene.tris_packed, pidc, axis=0)  # (N,12)
+            tv, tt, tu, tvv = _moller(o, d, tr[:, 0:3], tr[:, 3:6],
+                                      tr[:, 6:9], t)
             upd = m & tv
             t = jnp.where(upd, tt, t)
             prim = jnp.where(upd, pid, prim)

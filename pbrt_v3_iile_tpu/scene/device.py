@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..ops import bvh as bvhlib
 from . import api as apilib
+from . import textures as texlib
 
 
 class DeviceScene(NamedTuple):
@@ -34,6 +35,9 @@ class DeviceScene(NamedTuple):
     node_right: jnp.ndarray  # (M,) i32
     node_count: jnp.ndarray  # (M,) i32 (0 = interior)
     node_axis: jnp.ndarray   # (M,) i32
+    # --- packed hot-path layouts (one gather per traversal step) ---
+    nodes_packed: jnp.ndarray  # (M,8) f32: min3, max3, bits(right), bits(count<<2|axis)
+    tris_packed: jnp.ndarray   # (T,12) f32: p0, e1, e2, pad
     # --- analytic spheres (emitters) ---
     sph_center: jnp.ndarray  # (S,3)
     sph_radius: jnp.ndarray  # (S,)
@@ -54,6 +58,12 @@ class DeviceScene(NamedTuple):
     mat_metal_k: jnp.ndarray    # (M,3)
     mat_sigma: jnp.ndarray
     mat_remap: jnp.ndarray   # (M,) bool-ish f32
+    mat_kd_tex: jnp.ndarray  # (M,) i32 texture id or -1
+    mat_ks_tex: jnp.ndarray
+    mat_sigma_tex: jnp.ndarray
+    mat_rough_tex: jnp.ndarray
+    # --- texture table ---
+    textures: texlib.TextureTable
     # --- lights SoA ---
     light_kind: jnp.ndarray  # (L,) i32
     light_L: jnp.ndarray     # (L,3)
@@ -144,7 +154,16 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     eta = np.full(M, 1.5, np.float32)
     sigma = np.zeros(M, np.float32)
     remap = np.ones(M, np.float32)
+    tex_table, tex_ids = texlib.build_table(sd.textures)
+    kd_tex = np.full(M, -1, np.int32)
+    ks_tex = np.full(M, -1, np.int32)
+    sg_tex = np.full(M, -1, np.int32)
+    ro_tex = np.full(M, -1, np.int32)
     for i, m in enumerate(sd.materials):
+        kd_tex[i] = tex_ids.get(m.kd_tex, -1)
+        ks_tex[i] = tex_ids.get(m.ks_tex, -1)
+        sg_tex[i] = tex_ids.get(m.sigma_tex, -1)
+        ro_tex[i] = tex_ids.get(m.rough_tex, -1)
         mk[i] = m.kind
         if m.kd is not None:
             kd[i] = m.kd
@@ -268,6 +287,23 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
 
+    # packed hot-path layouts: the traversal loop fetches one contiguous
+    # row per step instead of five scattered gathers (TPU gathers are
+    # row-granular)
+    M_nodes = flat.node_min.shape[0]
+    nodes_packed = np.zeros((M_nodes, 8), np.float32)
+    nodes_packed[:, 0:3] = flat.node_min
+    nodes_packed[:, 3:6] = flat.node_max
+    nodes_packed[:, 6] = flat.node_right.astype(np.int32).view(np.float32)
+    meta_bits = ((flat.node_count.astype(np.int32) << 2)
+                 | flat.node_axis.astype(np.int32))
+    nodes_packed[:, 7] = meta_bits.view(np.float32)
+    T_tris = p.shape[0]
+    tris_packed = np.zeros((T_tris, 12), np.float32)
+    tris_packed[:, 0:3] = p[:, 0]
+    tris_packed[:, 3:6] = e1
+    tris_packed[:, 6:9] = e2
+
     return DeviceScene(
         tri_p0=f32(p[:, 0]), tri_e1=f32(e1), tri_e2=f32(e2),
         tri_ng=f32(ng), tri_ns=f32(ns), tri_uv=f32(uv),
@@ -275,6 +311,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         node_min=f32(flat.node_min), node_max=f32(flat.node_max),
         node_right=i32(flat.node_right), node_count=i32(flat.node_count),
         node_axis=i32(flat.node_axis),
+        nodes_packed=f32(nodes_packed), tris_packed=f32(tris_packed),
         sph_center=f32(sph_center), sph_radius=f32(sph_radius),
         sph_mat=i32(sph_mat), sph_light=i32(sph_light),
         n_spheres=i32(len(sd.spheres)),
@@ -282,6 +319,9 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         mat_kt=f32(kt), mat_rough=f32(rough), mat_urough=f32(uro),
         mat_vrough=f32(vro), mat_eta=f32(eta), mat_metal_eta=f32(meta),
         mat_metal_k=f32(mk_k), mat_sigma=f32(sigma), mat_remap=f32(remap),
+        mat_kd_tex=i32(kd_tex), mat_ks_tex=i32(ks_tex),
+        mat_sigma_tex=i32(sg_tex), mat_rough_tex=i32(ro_tex),
+        textures=tex_table,
         light_kind=i32(lkind), light_L=f32(lL), light_pos=f32(lpos),
         light_dir=f32(ldir), light_cos_total=f32(lct),
         light_cos_falloff=f32(lcf), light_two_sided=f32(l2s),

@@ -1,0 +1,392 @@
+"""Texture subsystem: build-time table + device-side evaluation.
+
+Replaces the reference's texture plugins (ref: src/textures/: constant,
+scale, mix, bilerp, imagemap + MIPMap, uv, checkerboard, dots, fbm,
+wrinkled, marble, windy) with a SoA texture table evaluated by masked
+vector ops; image maps live in one resampled atlas (bilinear lookups —
+MIPMap trilinear filtering is a later refinement); noise textures use a
+hash-gradient Perlin implemented in jnp (ref: src/core/texture.cpp Noise/
+FBm/Turbulence semantics).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+TEX_CONST = 0
+TEX_SCALE = 1
+TEX_MIX = 2
+TEX_CHECKER = 3
+TEX_UV = 4
+TEX_IMAGE = 5
+TEX_DOTS = 6
+TEX_FBM = 7
+TEX_WRINKLED = 8
+TEX_MARBLE = 9
+TEX_WINDY = 10
+TEX_BILERP = 11
+
+ATLAS_RES = 256
+
+KIND_IDS = {
+    "constant": TEX_CONST, "scale": TEX_SCALE, "mix": TEX_MIX,
+    "checkerboard": TEX_CHECKER, "uv": TEX_UV, "imagemap": TEX_IMAGE,
+    "dots": TEX_DOTS, "fbm": TEX_FBM, "wrinkled": TEX_WRINKLED,
+    "marble": TEX_MARBLE, "windy": TEX_WINDY, "bilerp": TEX_BILERP,
+}
+
+
+class TextureTable(NamedTuple):
+    kind: jnp.ndarray      # (X,) i32
+    v1: jnp.ndarray        # (X,3) tex1/value/scale
+    v2: jnp.ndarray        # (X,3) tex2/amount
+    child1: jnp.ndarray    # (X,) i32 nested texture id or -1
+    child2: jnp.ndarray    # (X,) i32
+    uscale: jnp.ndarray    # (X,)
+    vscale: jnp.ndarray    # (X,)
+    img: jnp.ndarray       # (X,) i32 atlas index or -1
+    octaves: jnp.ndarray   # (X,) noise octaves
+    omega: jnp.ndarray     # (X,) noise roughness
+    atlas: jnp.ndarray     # (I, ATLAS_RES, ATLAS_RES, 3)
+
+
+def empty_table() -> TextureTable:
+    z3 = jnp.zeros((1, 3), jnp.float32)
+    z = jnp.zeros((1,), jnp.float32)
+    zi = jnp.full((1,), -1, jnp.int32)
+    return TextureTable(
+        kind=jnp.zeros((1,), jnp.int32), v1=z3, v2=z3, child1=zi, child2=zi,
+        uscale=jnp.ones((1,)), vscale=jnp.ones((1,)), img=zi,
+        octaves=jnp.full((1,), 8.0), omega=jnp.full((1,), 0.5),
+        atlas=jnp.zeros((1, ATLAS_RES, ATLAS_RES, 3), jnp.float32),
+    )
+
+
+def _load_image_any(path: str) -> np.ndarray:
+    from ..utils import image as imglib
+
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "pfm":
+        img = imglib.read_pfm(path)
+    elif ext == "exr":
+        img = imglib.read_exr(path)
+    elif ext == "png":
+        img = imglib.read_png(path).astype(np.float32) / 255.0
+        img = np.where(img <= 0.04045, img / 12.92,
+                       ((img + 0.055) / 1.055) ** 2.4)  # sRGB -> linear
+    elif ext == "tga":
+        img = imglib.read_tga(path).astype(np.float32) / 255.0
+        img = np.where(img <= 0.04045, img / 12.92,
+                       ((img + 0.055) / 1.055) ** 2.4)
+    else:
+        raise ValueError(f"unsupported texture format: {path}")
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    return img[..., :3].astype(np.float32)
+
+
+def _resample(img: np.ndarray, res: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    ys = (np.arange(res) + 0.5) * h / res - 0.5
+    xs = (np.arange(res) + 0.5) * w / res - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    return ((1 - fy) * (1 - fx) * img[y0][:, x0]
+            + (1 - fy) * fx * img[y0][:, x1]
+            + fy * (1 - fx) * img[y1][:, x0]
+            + fy * fx * img[y1][:, x1]).astype(np.float32)
+
+
+def build_table(named_textures: dict) -> tuple[TextureTable, dict]:
+    """named_textures: name -> TextureRecord (scene/api.py).
+    Returns (table, name->id map)."""
+    if not named_textures:
+        return empty_table(), {}
+    names = list(named_textures.keys())
+    name_to_id = {n: i for i, n in enumerate(names)}
+    X = len(names)
+    kind = np.zeros(X, np.int32)
+    v1 = np.zeros((X, 3), np.float32)
+    v2 = np.zeros((X, 3), np.float32)
+    c1 = np.full(X, -1, np.int32)
+    c2 = np.full(X, -1, np.int32)
+    us = np.ones(X, np.float32)
+    vs = np.ones(X, np.float32)
+    imgid = np.full(X, -1, np.int32)
+    octv = np.full(X, 8.0, np.float32)
+    omga = np.full(X, 0.5, np.float32)
+    atlas_imgs = []
+
+    for i, n in enumerate(names):
+        rec = named_textures[n]
+        ps = rec.params
+        kind[i] = KIND_IDS.get(rec.kind, TEX_CONST)
+        us[i] = rec.uscale
+        vs[i] = rec.vscale
+        octv[i] = ps.find_one_int("octaves", 8)
+        omga[i] = ps.find_one_float("roughness", ps.find_one_float("omega", 0.5))
+
+        def val_or_child(pname, default, slot):
+            t = ps.find_texture_name(pname)
+            if t is not None and t in name_to_id:
+                if slot == 1:
+                    c1[i] = name_to_id[t]
+                else:
+                    c2[i] = name_to_id[t]
+                return np.asarray(default, np.float32)
+            return ps.find_one_rgb(pname, default).astype(np.float32)
+
+        if rec.kind == "constant":
+            v1[i] = ps.find_one_rgb("value", [1, 1, 1])
+        elif rec.kind == "scale":
+            v1[i] = val_or_child("tex1", [1, 1, 1], 1)
+            v2[i] = val_or_child("tex2", [1, 1, 1], 2)
+        elif rec.kind in ("mix",):
+            v1[i] = val_or_child("tex1", [0, 0, 0], 1)
+            v2[i] = val_or_child("tex2", [1, 1, 1], 2)
+            # amount may also be a texture; constant only for now
+            octv[i] = ps.find_one_float("amount", 0.5)
+        elif rec.kind == "checkerboard":
+            v1[i] = val_or_child("tex1", [1, 1, 1], 1)
+            v2[i] = val_or_child("tex2", [0, 0, 0], 2)
+        elif rec.kind == "dots":
+            v1[i] = val_or_child("inside", [1, 1, 1], 1)
+            v2[i] = val_or_child("outside", [0, 0, 0], 2)
+        elif rec.kind == "bilerp":
+            v1[i] = ps.find_one_rgb("v00", [0, 0, 0])
+            v2[i] = ps.find_one_rgb("v11", [1, 1, 1])
+        elif rec.kind == "imagemap":
+            fn = ps.find_one_string("filename", "")
+            try:
+                img = _load_image_any(fn)
+                atlas_imgs.append(_resample(img, ATLAS_RES))
+                imgid[i] = len(atlas_imgs) - 1
+            except Exception as e:  # missing/unsupported file -> gray
+                import sys
+                print(f"warning: texture {fn}: {e}; using 0.5 constant",
+                      file=sys.stderr)
+                kind[i] = TEX_CONST
+                v1[i] = [0.5, 0.5, 0.5]
+        elif rec.kind in ("fbm", "wrinkled", "windy", "marble"):
+            v1[i] = [1.0, 1.0, 1.0]
+            if rec.kind == "marble":
+                v1[i] = [ps.find_one_float("scale", 1.0)] * 3
+                v2[i] = [ps.find_one_float("variation", 0.2)] * 3
+
+    atlas = (np.stack(atlas_imgs) if atlas_imgs
+             else np.zeros((1, ATLAS_RES, ATLAS_RES, 3), np.float32))
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    i32 = lambda a: jnp.asarray(a, jnp.int32)
+    return TextureTable(
+        kind=i32(kind), v1=f32(v1), v2=f32(v2), child1=i32(c1), child2=i32(c2),
+        uscale=f32(us), vscale=f32(vs), img=i32(imgid), octaves=f32(octv),
+        omega=f32(omga), atlas=f32(atlas),
+    ), name_to_id
+
+
+# ---------------------------------------------------------------------------
+# Perlin noise (hash-gradient; semantics of src/core/texture.cpp Noise)
+# ---------------------------------------------------------------------------
+
+def _hash3(ix, iy, iz):
+    h = (ix.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+         ^ iy.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+         ^ iz.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x2C1B3C6D)
+    return h ^ (h >> 12)
+
+
+def _grad(ix, iy, iz, fx, fy, fz):
+    h = _hash3(ix, iy, iz) & 15
+    u = jnp.where(h < 8, fx, fy)
+    v = jnp.where(h < 4, fy, jnp.where((h == 12) | (h == 14), fx, fz))
+    return (jnp.where(h & 1 == 0, u, -u) + jnp.where(h & 2 == 0, v, -v))
+
+
+def perlin(p: jnp.ndarray) -> jnp.ndarray:
+    """p: (..., 3) -> noise in about [-1, 1]."""
+    pi = jnp.floor(p)
+    pf = p - pi
+    ix = pi[..., 0].astype(jnp.int32)
+    iy = pi[..., 1].astype(jnp.int32)
+    iz = pi[..., 2].astype(jnp.int32)
+    fx, fy, fz = pf[..., 0], pf[..., 1], pf[..., 2]
+    w = pf * pf * pf * (pf * (pf * 6.0 - 15.0) + 10.0)  # smootherstep
+    wx, wy, wz = w[..., 0], w[..., 1], w[..., 2]
+
+    def g(dx, dy, dz):
+        return _grad(ix + dx, iy + dy, iz + dz, fx - dx, fy - dy, fz - dz)
+
+    lerp = lambda t, a, b: a + t * (b - a)
+    x00 = lerp(wx, g(0, 0, 0), g(1, 0, 0))
+    x10 = lerp(wx, g(0, 1, 0), g(1, 1, 0))
+    x01 = lerp(wx, g(0, 0, 1), g(1, 0, 1))
+    x11 = lerp(wx, g(0, 1, 1), g(1, 1, 1))
+    y0 = lerp(wy, x00, x10)
+    y1 = lerp(wy, x01, x11)
+    return lerp(wz, y0, y1)
+
+
+def fbm(p, octaves, omega, max_octaves: int = 8):
+    total = jnp.zeros(p.shape[:-1])
+    lam, o = 1.0, 1.0
+    for i in range(max_octaves):
+        m = i < octaves
+        total = total + jnp.where(m, o * perlin(p * lam), 0.0)
+        lam *= 1.99
+        o = o * omega
+    return total
+
+
+def turbulence(p, octaves, omega, max_octaves: int = 8):
+    total = jnp.zeros(p.shape[:-1])
+    lam, o = 1.0, 1.0
+    for i in range(max_octaves):
+        m = i < octaves
+        total = total + jnp.where(m, o * jnp.abs(perlin(p * lam)), 0.0)
+        lam *= 1.99
+        o = o * omega
+    return total
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
+
+def _eval_leaf(tt: TextureTable, tid, uv, p):
+    """Evaluate without nesting (children treated as constants v1/v2)."""
+    g = lambda a: jnp.take(a, tid, axis=0)
+    kind = g(tt.kind)
+    v1 = g(tt.v1)
+    v2 = g(tt.v2)
+    us = g(tt.uscale)
+    vs = g(tt.vscale)
+    u = uv[..., 0] * us
+    v = uv[..., 1] * vs
+
+    out = v1  # constant default
+
+    # checkerboard (ref: textures/checkerboard.h Checkerboard2DTexture)
+    check = ((jnp.floor(u) + jnp.floor(v)).astype(jnp.int32) % 2) == 0
+    out = jnp.where((kind == TEX_CHECKER)[..., None],
+                    jnp.where(check[..., None], v1, v2), out)
+
+    # uv debug texture (ref: textures/uv.h)
+    uv_rgb = jnp.stack([u - jnp.floor(u), v - jnp.floor(v),
+                        jnp.zeros_like(u)], axis=-1)
+    out = jnp.where((kind == TEX_UV)[..., None], uv_rgb, out)
+
+    # dots (ref: textures/dots.h)
+    scell = jnp.floor(u + 0.5)
+    tcell = jnp.floor(v + 0.5)
+    # deterministic per-cell jitter via hash
+    hsh = _hash3(scell.astype(jnp.int32), tcell.astype(jnp.int32),
+                 jnp.zeros_like(scell, jnp.int32))
+    rnd1 = (hsh & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0
+    rnd2 = ((hsh >> 16) & jnp.uint32(0xFFFF)).astype(jnp.float32) / 65535.0
+    has_dot = rnd1 < 0.5
+    cx = scell + (rnd1 - 0.5) * 0.5
+    cy = tcell + (rnd2 - 0.5) * 0.5
+    inside = has_dot & (((u - cx) ** 2 + (v - cy) ** 2) < 0.35 ** 2)
+    out = jnp.where((kind == TEX_DOTS)[..., None],
+                    jnp.where(inside[..., None], v1, v2), out)
+
+    # bilerp (ref: textures/bilerp.h) between v00=v1 and v11=v2
+    fu = u - jnp.floor(u)
+    fv = v - jnp.floor(v)
+    bil = ((1 - fu) * (1 - fv) + fu * fv)[..., None] * 0  # cross terms folded:
+    bil = ((1 - fu) * (1 - fv))[..., None] * v1 + (fu * fv)[..., None] * v2 \
+        + ((1 - fu) * fv + fu * (1 - fv))[..., None] * 0.5 * (v1 + v2)
+    out = jnp.where((kind == TEX_BILERP)[..., None], bil, out)
+
+    # imagemap: bilinear atlas lookup, wrap repeat
+    img_id = jnp.maximum(g(tt.img), 0)
+    R = tt.atlas.shape[1]
+    fu_i = (u - jnp.floor(u)) * R - 0.5
+    fv_i = (v - jnp.floor(v)) * R - 0.5
+    x0 = jnp.floor(fu_i).astype(jnp.int32)
+    y0 = jnp.floor(fv_i).astype(jnp.int32)
+    ax = fu_i - x0
+    ay = fv_i - y0
+    x0m = jnp.mod(x0, R)
+    x1m = jnp.mod(x0 + 1, R)
+    y0m = jnp.mod(y0, R)
+    y1m = jnp.mod(y0 + 1, R)
+    flat = tt.atlas.reshape(-1, 3)
+
+    def at(xm, ym):
+        idx = (img_id * R + ym) * R + xm
+        return jnp.take(flat, idx, axis=0)
+
+    imgv = ((1 - ax) * (1 - ay))[..., None] * at(x0m, y0m) \
+        + (ax * (1 - ay))[..., None] * at(x1m, y0m) \
+        + ((1 - ax) * ay)[..., None] * at(x0m, y1m) \
+        + (ax * ay)[..., None] * at(x1m, y1m)
+    out = jnp.where((kind == TEX_IMAGE)[..., None], imgv, out)
+
+    # noise textures on world position (ref: textures/fbm.h etc.)
+    octn = g(tt.octaves)
+    omg = g(tt.omega)
+    fb = fbm(p, octn, omg)
+    out = jnp.where((kind == TEX_FBM)[..., None], v1 * fb[..., None], out)
+    wr = turbulence(p, octn, omg)
+    out = jnp.where((kind == TEX_WRINKLED)[..., None], v1 * wr[..., None], out)
+    # windy (ref: textures/windy.h): fbm(0.1p,.5,3) * |fbm(p,.5,6)|
+    wind = fbm(0.1 * p, jnp.full_like(octn, 3.0), jnp.full_like(omg, 0.5),
+               max_octaves=3)
+    wave = jnp.abs(fbm(p, jnp.full_like(octn, 6.0), jnp.full_like(omg, 0.5),
+                       max_octaves=6))
+    out = jnp.where((kind == TEX_WINDY)[..., None],
+                    (wind * wave)[..., None] * jnp.ones_like(v1), out)
+    # marble-ish: sin warp of fbm (simplified palette of marble.h)
+    mrb = 0.5 + 0.5 * jnp.sin(p[..., 1] * v1[..., 0] + v2[..., 0]
+                              * turbulence(p, octn, omg))
+    out = jnp.where((kind == TEX_MARBLE)[..., None],
+                    mrb[..., None] * jnp.ones_like(v1), out)
+
+    # mix: amount stored in octaves slot for constant amount
+    amt = g(tt.octaves)[..., None]
+    out = jnp.where((kind == TEX_MIX)[..., None],
+                    v1 * (1 - amt) + v2 * amt, out)
+    # scale
+    out = jnp.where((kind == TEX_SCALE)[..., None], v1 * v2, out)
+    return out
+
+
+def eval_texture(tt: TextureTable, tid, uv, p):
+    """Evaluate texture ids (N,) at uv (N,2), world p (N,3) -> (N,3).
+    Nested scale/mix/checkerboard children resolved one level deep."""
+    tid_c = jnp.maximum(tid, 0)
+    base = _eval_leaf(tt, tid_c, uv, p)
+    c1 = jnp.take(tt.child1, tid_c)
+    c2 = jnp.take(tt.child2, tid_c)
+    has_child = (c1 >= 0) | (c2 >= 0)
+    v1c = jnp.where((c1 >= 0)[..., None],
+                    _eval_leaf(tt, jnp.maximum(c1, 0), uv, p),
+                    jnp.take(tt.v1, tid_c, axis=0))
+    v2c = jnp.where((c2 >= 0)[..., None],
+                    _eval_leaf(tt, jnp.maximum(c2, 0), uv, p),
+                    jnp.take(tt.v2, tid_c, axis=0))
+    kind = jnp.take(tt.kind, tid_c)
+    us = jnp.take(tt.uscale, tid_c)
+    vs = jnp.take(tt.vscale, tid_c)
+    u = uv[..., 0] * us
+    v = uv[..., 1] * vs
+    check = ((jnp.floor(u) + jnp.floor(v)).astype(jnp.int32) % 2) == 0
+    nested = jnp.where((kind == TEX_SCALE)[..., None], v1c * v2c, base)
+    nested = jnp.where((kind == TEX_CHECKER)[..., None],
+                       jnp.where(check[..., None], v1c, v2c), nested)
+    amt = jnp.take(tt.octaves, tid_c)[..., None]
+    nested = jnp.where((kind == TEX_MIX)[..., None],
+                       v1c * (1 - amt) + v2c * amt, nested)
+    out = jnp.where(has_child[..., None], nested, base)
+    return jnp.where((tid >= 0)[..., None], out, 0.0)

@@ -80,6 +80,120 @@ def write_png(path: str, img: np.ndarray) -> None:
         f.write(_png_chunk(b"IEND", b""))
 
 
+def read_png(path: str) -> np.ndarray:
+    """Minimal PNG decoder: 8/16-bit gray/RGB/palette/RGBA -> (h,w,3) u8."""
+    with open(path, "rb") as f:
+        data = f.read()
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"not a PNG: {path}")
+    pos = 8
+    idat = b""
+    palette = None
+    w = h = depth = ctype = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(idat)
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = max(1, nch * depth // 8)
+    stride = (w * nch * depth + 7) // 8
+    img = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    rp = 0
+    for y in range(h):
+        ft = raw[rp]
+        row = np.frombuffer(raw[rp + 1 : rp + 1 + stride], np.uint8).astype(
+            np.int32).copy()
+        rp += 1 + stride
+        if ft == 1:  # sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ft == 2:  # up
+            row = (row + prev) & 0xFF
+        elif ft == 3:  # average
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        img[y] = row.astype(np.uint8)
+        prev = row
+    if depth == 8:
+        arr = img[:, : w * nch].reshape(h, w, nch)
+    elif depth == 16:
+        arr = img.view(">u2")[:, : w * nch].reshape(h, w, nch)
+        arr = (arr >> 8).astype(np.uint8)
+    else:
+        raise ValueError(f"PNG bit depth {depth} unsupported")
+    if ctype == 3:
+        arr = palette[arr[..., 0]]
+    elif nch == 1:
+        arr = np.repeat(arr, 3, axis=-1)
+    elif nch == 2:
+        arr = np.repeat(arr[..., :1], 3, axis=-1)
+    elif nch == 4:
+        arr = arr[..., :3]
+    return arr
+
+
+def read_tga(path: str) -> np.ndarray:
+    """Minimal TGA reader (types 2/10, 24/32-bit) -> (h,w,3) u8."""
+    with open(path, "rb") as f:
+        data = f.read()
+    idlen = data[0]
+    imgtype = data[2]
+    w = struct.unpack("<H", data[12:14])[0]
+    h = struct.unpack("<H", data[14:16])[0]
+    bpp = data[16] // 8
+    desc = data[17]
+    pos = 18 + idlen
+    n = w * h
+    if imgtype == 2:
+        px = np.frombuffer(data[pos : pos + n * bpp], np.uint8).reshape(n, bpp)
+    elif imgtype == 10:  # RLE
+        out = np.zeros((n, bpp), np.uint8)
+        i = 0
+        while i < n:
+            hdr = data[pos]
+            pos += 1
+            cnt = (hdr & 0x7F) + 1
+            if hdr & 0x80:
+                out[i : i + cnt] = np.frombuffer(
+                    data[pos : pos + bpp], np.uint8)
+                pos += bpp
+            else:
+                out[i : i + cnt] = np.frombuffer(
+                    data[pos : pos + cnt * bpp], np.uint8).reshape(cnt, bpp)
+                pos += cnt * bpp
+            i += cnt
+        px = out
+    else:
+        raise ValueError(f"TGA type {imgtype} unsupported")
+    img = px[:, :3][:, ::-1].reshape(h, w, 3)  # BGR -> RGB
+    if not (desc & 0x20):  # bottom-up origin
+        img = np.flipud(img)
+    return img.copy()
+
+
 def gamma_correct(x: np.ndarray) -> np.ndarray:
     """Linear -> sRGB (ref: src/core/pbrt.h GammaCorrect)."""
     x = np.asarray(x, dtype=np.float32)
