@@ -87,7 +87,14 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
             kl = smplr.wave_key(k, 0, 0, smplr.DIM_LENS)
             u_lens = smplr.uniform(kl, (CH * W, 2))
         o, d = camlib.generate_rays(cam, p_film, u_lens, kind=cam_kind)
-        L, aux = pathlib_.trace_paths(scene, o, d, k, cfg)
+        if sd.integrator.kind == "ambientocclusion":
+            from . import ao as aolib
+            L = aolib.trace_ao(scene, o, d, k,
+                               cos_sample=sd.integrator.cos_sample,
+                               use_pallas=cfg.use_pallas)
+            aux = {"rays": jnp.int32(2 * CH * W)}
+        else:
+            L, aux = pathlib_.trace_paths(scene, o, d, k, cfg)
         return (L.reshape(CH, W, 3), jitter.reshape(CH, W, 2), aux["rays"])
 
     return run

@@ -88,9 +88,15 @@ def sample_li(scene, light_id, p_ref, u3) -> LightSample:
     wi_d = ldir
     dist_d = jnp.full(N, 2.0) * scene.world_radius
 
-    # ---- infinite (constant color) ----
-    wi_i = smp.uniform_sample_sphere(u2)
-    pdf_i = jnp.full(N, smp.INV_4PI)
+    # ---- infinite ----
+    # constant color: uniform sphere; env map: 2D-distribution importance
+    # sampling (ref: infinite.cpp Sample_Li via Distribution2D)
+    wi_u = smp.uniform_sample_sphere(u2)
+    pdf_u = jnp.full(N, smp.INV_4PI)
+    wi_e, pdf_e, li_e = _sample_env_map(scene, u2)
+    use_env = (scene.has_env_map > 0) & (light_id == scene.env_light_id)
+    wi_i = jnp.where(use_env[:, None], wi_e, wi_u)
+    pdf_i = jnp.where(use_env, pdf_e, pdf_u)
     dist_i = jnp.full(N, 2.0) * scene.world_radius
 
     # ---- area triangle ----
@@ -161,10 +167,11 @@ def sample_li(scene, light_id, p_ref, u3) -> LightSample:
             out = jnp.where(m, v, out)
         return out
 
+    li_inf = jnp.where(use_env[:, None], li_e, L)
     wi = sel((is_pt | is_spot, wi_p), (is_dist, wi_d), (is_inf, wi_i),
              (is_tri, wi_t), (is_sph, wi_s), default=wi_i)
     li = sel((is_pt, li_point), (is_spot, li_spot), (is_dist, L),
-             (is_inf, L), (is_tri, li_t), (is_sph, li_s), default=L)
+             (is_inf, li_inf), (is_tri, li_t), (is_sph, li_s), default=L)
     pdf = sel((is_pt | is_spot | is_dist, jnp.ones(N)), (is_inf, pdf_i),
               (is_tri, pdf_t), (is_sph, pdf_s), default=jnp.ones(N))
     dist = sel((is_pt | is_spot, dist_p), (is_dist | is_inf, dist_i),
@@ -194,10 +201,13 @@ def pdf_li(scene, light_id, p_ref, wi, hit_t, hit_cos):
         hit_cos * 4.0 * jnp.pi * r * r, 1e-12)
     pdf_sph = jnp.where(outside, pdf_sph_out, pdf_sph_in)
 
+    pdf_inf = jnp.where(
+        (scene.has_env_map > 0) & (light_id == scene.env_light_id),
+        _env_dir_pdf(scene, wi), smp.INV_4PI)
     pdf = jnp.where(kind == LIGHT_AREA_TRI, pdf_tri,
                     jnp.where(kind == LIGHT_AREA_SPHERE, pdf_sph,
                               jnp.where(kind == LIGHT_INFINITE,
-                                        smp.INV_4PI, 0.0)))
+                                        pdf_inf, 0.0)))
     return pdf
 
 
@@ -213,15 +223,82 @@ def area_light_le(scene, light_id, n_l, w_out):
     return jnp.where((lit & valid_area & (light_id >= 0))[:, None], L, 0.0)
 
 
+def _env_uv(scene, d):
+    """Direction -> lat-long (u, v) in the light frame (ref: infinite.cpp
+    Le: SphericalPhi/Theta of WorldToLight(d), z-up)."""
+    dl = d @ scene.env_world_to.T
+    theta = vm.spherical_theta(dl)
+    phi = vm.spherical_phi(dl)
+    return phi * smp.INV_2PI, theta * (1.0 / jnp.pi), theta
+
+
+def _env_lookup(scene, d):
+    """Bilinear radiance lookup of the env map for directions d."""
+    EH, EW = scene.env_img.shape[:2]
+    u, v, _ = _env_uv(scene, d)
+    fx = u * EW - 0.5
+    fy = v * EH - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+    x0m = jnp.mod(x0, EW)
+    x1m = jnp.mod(x0 + 1, EW)
+    y0c = jnp.clip(y0, 0, EH - 1)
+    y1c = jnp.clip(y0 + 1, 0, EH - 1)
+    flat = scene.env_img.reshape(-1, 3)
+    at = lambda xm, ym: jnp.take(flat, ym * EW + xm, axis=0)
+    return ((1 - ax) * (1 - ay) * at(x0m, y0c) + ax * (1 - ay) * at(x1m, y0c)
+            + (1 - ax) * ay * at(x0m, y1c) + ax * ay * at(x1m, y1c))
+
+
+def _env_dir_pdf(scene, d):
+    """Solid-angle pdf of env-map sampling for direction d."""
+    EH, EW = scene.env_pdf.shape
+    u, v, _ = _env_uv(scene, d)
+    x = jnp.clip((u * EW).astype(jnp.int32), 0, EW - 1)
+    y = jnp.clip((v * EH).astype(jnp.int32), 0, EH - 1)
+    return jnp.take(scene.env_pdf.reshape(-1), y * EW + x)
+
+
+def _sample_env_map(scene, u2):
+    """Importance-sample the env map 2D distribution; returns
+    (wi (N,3), pdf (N,), Li (N,3))."""
+    import jax
+
+    EH, EW = scene.env_pdf.shape
+    row = jnp.clip(jnp.searchsorted(scene.env_marg_cdf, u2[..., 0]),
+                   0, EH - 1)
+    cond_rows = jnp.take(scene.env_cond_cdf, row, axis=0)  # (N, EW)
+    col = jnp.clip(jax.vmap(jnp.searchsorted)(cond_rows, u2[..., 1]),
+                   0, EW - 1)
+    v = (row.astype(jnp.float32) + 0.5) / EH
+    u = (col.astype(jnp.float32) + 0.5) / EW
+    theta = v * jnp.pi
+    phi = u * 2.0 * jnp.pi
+    st = jnp.sin(theta)
+    d_light = jnp.stack([st * jnp.cos(phi), st * jnp.sin(phi),
+                         jnp.cos(theta)], axis=-1)
+    wi = d_light @ scene.env_to_world.T
+    pdf = jnp.take(scene.env_pdf.reshape(-1), row * EW + col)
+    li = jnp.take(scene.env_img.reshape(-1, 3), row * EW + col, axis=0)
+    return wi, pdf, li
+
+
 def environment_le(scene, d):
     """Radiance from infinite lights for escaped rays (ref:
-    infinite.cpp InfiniteAreaLight::Le). Sums all infinite lights."""
+    infinite.cpp InfiniteAreaLight::Le). Sums all infinite lights;
+    the env-mapped light contributes its texture lookup."""
     L = scene.light_kind.shape[0]
     is_inf = scene.light_kind == LIGHT_INFINITE
     live = jnp.arange(L) < scene.n_lights
-    total = jnp.sum(
-        jnp.where((is_inf & live)[:, None], scene.light_L, 0.0), axis=0)
-    return jnp.broadcast_to(total, d.shape)
+    has_map = jnp.arange(L) == scene.env_light_id
+    total_const = jnp.sum(
+        jnp.where((is_inf & live & ~has_map)[:, None], scene.light_L, 0.0),
+        axis=0)
+    out = jnp.broadcast_to(total_const, d.shape)
+    env = _env_lookup(scene, d)
+    return jnp.where(scene.has_env_map > 0, out + env, out)
 
 
 def has_infinite(scene):

@@ -96,6 +96,7 @@ class LightRecord:
     tri_count: int = 0
     sphere_index: int = -1
     map_name: str = ""             # infinite light env map
+    to_world: np.ndarray = None    # (3,3) light-to-world rotation (infinite)
 
 
 @dataclasses.dataclass
@@ -485,7 +486,8 @@ class Api:
             if mapname and not os.path.isabs(mapname):
                 mapname = os.path.join(self.base_dir, mapname)
             self.scene.lights.append(
-                LightRecord(LIGHT_INFINITE, L, map_name=mapname)
+                LightRecord(LIGHT_INFINITE, L, map_name=mapname,
+                            to_world=self.ctm[:3, :3].copy())
             )
         # goniometric / projection: not yet supported
 

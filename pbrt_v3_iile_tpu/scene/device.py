@@ -87,6 +87,15 @@ class DeviceScene(NamedTuple):
     ltri_area: jnp.ndarray   # (K,)
     ltri_cdf: jnp.ndarray    # (K,) per-light-normalized cumulative area
     ltri_light: jnp.ndarray  # (K,) i32 owning light
+    # --- environment map (first infinite light with a mapname) ---
+    env_img: jnp.ndarray        # (EH, EW, 3) radiance (already scaled by L)
+    env_marg_cdf: jnp.ndarray   # (EH,) row-marginal CDF over sin-weighted lum
+    env_cond_cdf: jnp.ndarray   # (EH, EW) per-row conditional CDF
+    env_pdf: jnp.ndarray        # (EH, EW) solid-angle pdf of each texel dir
+    env_to_world: jnp.ndarray   # (3,3) light-to-world rotation
+    env_world_to: jnp.ndarray   # (3,3) inverse
+    has_env_map: jnp.ndarray    # () i32 0/1
+    env_light_id: jnp.ndarray   # () i32 which light owns the map (-1 none)
     # --- world ---
     world_min: jnp.ndarray   # (3,)
     world_max: jnp.ndarray   # (3,)
@@ -268,6 +277,9 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         l2s[i] = 1.0 if lrec.two_sided else 0.0
         lsph[i] = lrec.sphere_index
 
+    # ---- environment map ----
+    env = _build_env_map(sd)
+
     # world bounds (geometry + spheres)
     wmin = p.min(axis=(0, 1)) if p.size else np.zeros(3)
     wmax = p.max(axis=(0, 1)) if p.size else np.ones(3)
@@ -331,9 +343,66 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         ltri_p0=f32(ltri_p0), ltri_e1=f32(ltri_e1), ltri_e2=f32(ltri_e2),
         ltri_ng=f32(ltri_ng), ltri_area=f32(ltri_area),
         ltri_cdf=f32(ltri_cdf), ltri_light=i32(ltri_light),
+        env_img=f32(env["img"]), env_marg_cdf=f32(env["marg"]),
+        env_cond_cdf=f32(env["cond"]), env_pdf=f32(env["pdf"]),
+        env_to_world=f32(env["to_world"]), env_world_to=f32(env["world_to"]),
+        has_env_map=i32(env["has"]), env_light_id=i32(env["light_id"]),
         world_min=f32(wmin), world_max=f32(wmax),
         world_radius=f32(wradius),
     )
+
+
+def _build_env_map(sd):
+    """Latitude-longitude env map + sampling distributions (ref:
+    src/lights/infinite.cpp InfiniteAreaLight ctor: Distribution2D over
+    sin-theta-weighted luminance; mipmap lookup becomes bilinear)."""
+    import os
+    out = dict(
+        img=np.zeros((1, 1, 3), np.float32),
+        marg=np.ones(1, np.float32),
+        cond=np.ones((1, 1), np.float32),
+        pdf=np.zeros((1, 1), np.float32),
+        to_world=np.eye(3, dtype=np.float32),
+        world_to=np.eye(3, dtype=np.float32),
+        has=0, light_id=-1,
+    )
+    for li, lrec in enumerate(sd.lights):
+        if lrec.kind != apilib.LIGHT_INFINITE or not lrec.map_name:
+            continue
+        if not os.path.exists(lrec.map_name):
+            import sys
+            print(f"warning: env map {lrec.map_name} not found; using "
+                  f"constant color", file=sys.stderr)
+            continue
+        from . import textures as texlib
+        try:
+            img = texlib._load_image_any(lrec.map_name)
+        except Exception as e:
+            import sys
+            print(f"warning: env map load failed: {e}", file=sys.stderr)
+            continue
+        img = img * np.asarray(lrec.L, np.float32)
+        if lrec.to_world is not None:
+            # orthonormalize (scene files use rotations here)
+            q, _ = np.linalg.qr(np.asarray(lrec.to_world, np.float64))
+            out["to_world"] = q.astype(np.float32)
+            out["world_to"] = q.T.astype(np.float32)
+        EH, EW = img.shape[:2]
+        lum = img @ np.array([0.212671, 0.715160, 0.072169])
+        theta = (np.arange(EH) + 0.5) / EH * np.pi
+        w = lum * np.sin(theta)[:, None] + 1e-12
+        row_int = w.sum(axis=1)
+        marg = np.cumsum(row_int) / row_int.sum()
+        cond = np.cumsum(w, axis=1) / w.sum(axis=1, keepdims=True)
+        # solid-angle pdf per texel: p(u,v)*HW/(2 pi^2 sin theta)
+        p_uv = w / w.sum() * (EH * EW)
+        sin_t = np.maximum(np.sin(theta)[:, None], 1e-6)
+        pdf = p_uv / (2.0 * np.pi * np.pi * sin_t)
+        out.update(img=img.astype(np.float32), marg=marg.astype(np.float32),
+                   cond=cond.astype(np.float32), pdf=pdf.astype(np.float32),
+                   has=1, light_id=li)
+        break
+    return out
 
 
 def _smooth_from_geo(p):
