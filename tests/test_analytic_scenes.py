@@ -1,0 +1,67 @@
+"""Integration test: analytic scenes with known exact radiance
+(coverage model: src/tests/analytic_scenes.cpp CheckSceneAverage —
+image mean must match the closed-form value within delta)."""
+
+import numpy as np
+import pytest
+
+from pbrt_v3_iile_tpu.scene import api as apilib
+from pbrt_v3_iile_tpu.integrators import render as renderlib
+
+# inside a unit sphere with albedo rho and point light I=pi at center:
+# L = sum_k rho^k * (I/pi)/(1) ... = rho/(1-rho) * E/pi with E=I -> for
+# rho=.5, I=pi: L = 1 exactly (ref: analytic_scenes.cpp:68-90)
+SPHERE_GI = """
+LookAt 0 0 0  1 0 0  0 0 1
+Camera "perspective" "float fov" [90]
+Film "image" "integer xresolution" [24] "integer yresolution" [24]
+Integrator "path" "integer maxdepth" [12]
+WorldBegin
+LightSource "point" "color I" [3.14159265 3.14159265 3.14159265]
+AttributeBegin
+  ReverseOrientation
+  Material "matte" "color Kd" [0.5 0.5 0.5]
+  Shape "sphere" "float radius" [1]
+AttributeEnd
+WorldEnd
+"""
+
+# direct lighting only: first bounce is rho/pi * E = 0.5
+SPHERE_DIRECT = SPHERE_GI.replace(
+    'Integrator "path" "integer maxdepth" [12]',
+    'Integrator "directlighting" "integer maxdepth" [2]')
+
+
+@pytest.mark.slow
+def test_sphere_multibounce_radiance_is_one():
+    sd = apilib.load_scene_string(SPHERE_GI)
+    img, _ = renderlib.render(sd, spp=8, use_native_bvh=True)
+    assert abs(float(img.mean()) - 1.0) < 0.02
+
+
+@pytest.mark.slow
+def test_sphere_direct_radiance_is_half():
+    sd = apilib.load_scene_string(SPHERE_DIRECT)
+    img, _ = renderlib.render(sd, spp=8, use_native_bvh=True)
+    assert abs(float(img.mean()) - 0.5) < 0.01
+
+
+@pytest.mark.slow
+def test_area_light_furnace():
+    """Camera inside emitting sphere sees exactly L everywhere."""
+    scene = """
+LookAt 0 0 0  1 0 0  0 0 1
+Camera "perspective" "float fov" [90]
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Integrator "path" "integer maxdepth" [2]
+WorldBegin
+AttributeBegin
+  Material "matte" "color Kd" [0 0 0]
+  AreaLightSource "area" "color L" [2 3 4] "bool twosided" "true"
+  Shape "sphere" "float radius" [1]
+AttributeEnd
+WorldEnd
+"""
+    sd = apilib.load_scene_string(scene)
+    img, _ = renderlib.render(sd, spp=2)
+    assert np.allclose(img.mean(axis=(0, 1)), [2, 3, 4], rtol=0.02)
