@@ -80,7 +80,11 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
         pix = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
         k = jax.random.fold_in(jax.random.fold_in(key, pass_idx), row0)
         kj = smplr.wave_key(k, 0, 0, smplr.DIM_PIXEL_JITTER)
-        jitter = smplr.uniform(kj, (CH * W, 2))
+        flat_pix = ((row0 + jnp.arange(CH, dtype=jnp.int32))[:, None] * W
+                    + jnp.arange(W, dtype=jnp.int32)[None, :]).reshape(-1)
+        jitter = smplr.pixel_samples(sd.sampler.kind, kj,
+                                     flat_pix.astype(jnp.uint32), pass_idx,
+                                     sd.sampler.pixel_samples)
         p_film = pix + jitter
         u_lens = None
         if has_lens:

@@ -41,3 +41,41 @@ def stratified_pixel_jitter(key, n, spp_index=0, strata=1):
         sy = (spp_index // strata) % strata
         u = (u + jnp.array([sx, sy], dtype=u.dtype)) / strata
     return u
+
+
+def pixel_samples(kind: str, key, pixel_idx, pass_idx, spp: int):
+    """In-pixel 2D sample for each pixel of a pass, by sampler kind.
+
+    Semantics map of the reference samplers (src/samplers/*):
+    - random: iid uniform (random.cpp)
+    - stratified: pass-indexed stratum + jitter (stratified.cpp)
+    - halton: radical-inverse bases 2/3 of the pass index with
+      per-pixel Cranley-Patterson rotation (halton.cpp's per-pixel
+      scrambling role)
+    - sobol / lowdiscrepancy / 02sequence / maxmindist: (0,2)-sequence
+      with per-pixel digit scramble (sobol.cpp, zerotwosequence.cpp)
+    pixel_idx: (N,) flat pixel ids; pass_idx: scalar.
+    """
+    from . import lds
+
+    n = pixel_idx.shape[0]
+    if kind == "stratified":
+        strata = max(1, int(spp ** 0.5))
+        return stratified_pixel_jitter(key, n, pass_idx, strata)
+    if kind == "halton":
+        i = jnp.full((n,), pass_idx, jnp.uint32)
+        hx = lds.radical_inverse(2, i)
+        hy = lds.radical_inverse(3, i)
+        rot = lds.hash_u32(pixel_idx).astype(jnp.float32) / 4294967296.0
+        rot2 = lds.hash_u32(pixel_idx ^ jnp.uint32(0x9E3779B9)).astype(
+            jnp.float32) / 4294967296.0
+        return jnp.stack([jnp.mod(hx + rot, 1.0),
+                          jnp.mod(hy + rot2, 1.0)], axis=-1)
+    if kind in ("sobol", "lowdiscrepancy", "02sequence", "zerotwosequence",
+                "maxmindist"):
+        i = jnp.full((n,), pass_idx, jnp.uint32)
+        sx = lds.hash_u32(pixel_idx)
+        sy = lds.hash_u32(pixel_idx ^ jnp.uint32(0x85EBCA77))
+        x, y = lds.sobol02(i, sx, sy)
+        return jnp.stack([x, y], axis=-1)
+    return uniform(key, (n, 2))
