@@ -61,6 +61,9 @@ def main(argv=None):
                     help="quarter resolution, 1/4 samples")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stats", action="store_true")
+    ap.add_argument("--filmCheckpoint", default=None,
+                    help="film checkpoint file for resumable renders")
+    ap.add_argument("--checkpointEvery", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = ap.parse_args(argv)
 
@@ -121,7 +124,10 @@ def main(argv=None):
         if args.stats:
             print(json.dumps(stats), file=sys.stderr)
     else:
-        img, stats = renderlib.render(sd, spp=args.spp, seed=args.seed)
+        img, stats = renderlib.render(
+            sd, spp=args.spp, seed=args.seed,
+            checkpoint=args.filmCheckpoint,
+            checkpoint_every=args.checkpointEvery)
         write_output(out, img)
         if args.stats:
             print(json.dumps(stats), file=sys.stderr)

@@ -75,6 +75,30 @@ def cmd_tonemap(argv):
     print(f"wrote {args.output}")
 
 
+def cmd_convert(argv):
+    """Image format conversion (imgtool-convert equivalent,
+    ref: src/tools/imgtool.cpp convert)."""
+    from ..utils import image as imglib
+
+    ap = argparse.ArgumentParser(prog="tools convert")
+    ap.add_argument("input")
+    ap.add_argument("output")
+    args = ap.parse_args(argv)
+    img = _load(args.input)
+    ext = args.output.rsplit(".", 1)[-1].lower()
+    if ext == "pfm":
+        imglib.write_pfm(args.output, img)
+    elif ext == "exr":
+        imglib.write_exr(args.output, img)
+    elif ext == "png":
+        imglib.write_png_tonemapped(args.output, img)
+    elif ext == "npy":
+        np.save(args.output, img)
+    else:
+        raise SystemExit(f"unknown output format {ext}")
+    print(f"wrote {args.output}")
+
+
 def cmd_benchmark(argv):
     import time
 
@@ -127,6 +151,8 @@ def main(argv=None):
         return cmd_metrics(rest)
     if cmd == "tonemap":
         return cmd_tonemap(rest)
+    if cmd == "convert":
+        return cmd_convert(rest)
     if cmd == "benchmark":
         return cmd_benchmark(rest)
     print(f"unknown tool {cmd}")

@@ -104,13 +104,32 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
     return run
 
 
+def save_film_checkpoint(path: str, film, passes_done: int, seed: int):
+    """Checkpoint/resume for long renders (SURVEY §5: the reference can
+    only resume reference-mode by file existence, iispt.cpp:143-168;
+    here the film state itself is checkpointed)."""
+    np.savez(path, rgb=np.asarray(film.rgb), weight=np.asarray(film.weight),
+             passes=passes_done, seed=seed)
+
+
+def load_film_checkpoint(path: str):
+    z = np.load(path)
+    return (filmlib.Film(rgb=jnp.asarray(z["rgb"]),
+                         weight=jnp.asarray(z["weight"])),
+            int(z["passes"]), int(z["seed"]))
+
+
 def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
            use_pallas: bool = False, use_native_bvh: bool = True,
-           max_wave: int = 1 << 17, report=None):
+           max_wave: int = 1 << 17, checkpoint: str = None,
+           checkpoint_every: int = 0, report=None):
     """Full render; returns (image (H,W,3) np.ndarray, stats dict).
 
     Waves are bounded to ~max_wave rays (row chunks) so each device
-    program stays within the TPU step budget."""
+    program stays within the TPU step budget.  With checkpoint set, the
+    film state is saved every checkpoint_every passes and the render
+    resumes from an existing checkpoint file."""
+    import os
     import time
 
     scene, cam = build(sd, use_native_bvh=use_native_bvh)
@@ -135,10 +154,16 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
         alpha=sd.film.filter_alpha, B=sd.film.filter_b, C=sd.film.filter_c,
         tau=sd.film.filter_tau))
 
+    start_pass = 0
+    if checkpoint and os.path.exists(checkpoint):
+        film, start_pass, ck_seed = load_film_checkpoint(checkpoint)
+        if ck_seed != seed:
+            raise ValueError("checkpoint was rendered with a different seed")
+
     CH = chunk_rows if chunk_rows else H
     total_rays = 0
     t0 = time.time()
-    for p in range(spp):
+    for p in range(start_pass, spp):
         if chunk_rows:
             Ls, Js = [], []
             for row0 in range(0, H, CH):
@@ -152,6 +177,8 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
             L, jitter, rays = run(scene, cam, key, p, 0)
             total_rays += int(rays)
         film = add(film, L, jitter)
+        if checkpoint and checkpoint_every and (p + 1) % checkpoint_every == 0:
+            save_film_checkpoint(checkpoint, film, p + 1, seed)
         if report is not None:
             report(p + 1, spp, film)
     img = np.asarray(filmlib.resolve(film))
