@@ -40,10 +40,45 @@ class PathConfig(NamedTuple):
                                       # (ref: directlighting.cpp WhittedLike)
     skip_bounce0_le: bool = False     # IILE probe mode (iispt_d.cpp:116)
     use_pallas: bool = False
+    volumetric: bool = False          # homogeneous media transport
+                                      # (ref: src/integrators/volpath.cpp +
+                                      #  media/homogeneous.cpp)
     differentiable: bool = False      # detached-sampling gradient mode:
                                       # freeze path geometry + sampling
                                       # decisions, differentiate shading
                                       # (see integrators/grad.py)
+
+
+def _hg_p(cos_theta, g):
+    """Henyey-Greenstein phase function (ref: medium.cpp PhaseHG)."""
+    denom = 1.0 + g * g + 2.0 * g * cos_theta
+    return smp.INV_4PI * (1.0 - g * g) / jnp.maximum(
+        denom * jnp.sqrt(jnp.maximum(denom, 1e-9)), 1e-9)
+
+
+def _hg_sample(d_prop, g, u2):
+    """Sample HG scattering (ref: medium.cpp HenyeyGreenstein::Sample_p).
+
+    d_prop is the propagation direction (= -wo).  pbrt measures cosTheta
+    against wo, so g>0 concentrates mass at cos_t = -1 (i.e. forward,
+    wi ~ d_prop).  Returns (wi, pdf)."""
+    g_safe = jnp.where(jnp.abs(g) < 1e-3, 1e-3, g)
+    sqr = (1.0 - g * g) / (1.0 - g + 2.0 * g * u2[:, 0])
+    cos_t = jnp.where(
+        jnp.abs(g) < 1e-3,
+        1.0 - 2.0 * u2[:, 0],
+        (1.0 + g * g - sqr * sqr) / (2.0 * g_safe))
+    cos_t = jnp.clip(cos_t, -1.0, 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = 2.0 * jnp.pi * u2[:, 1]
+    # frame around -wo = d_prop (pbrt: SphericalDirection(..., -wo)), so
+    # cos_t has mass at +1 (forward) for g>0; the phase value is
+    # evaluated at dot(wo, wi) = -cos_t
+    fwd = vm.normalize(d_prop)
+    t1, t2 = vm.coordinate_system(fwd)
+    wi = (sin_t * jnp.cos(phi))[:, None] * t1 \
+        + (sin_t * jnp.sin(phi))[:, None] * t2 + cos_t[:, None] * fwd
+    return wi, _hg_p(-cos_t, g)
 
 
 def _mis_or_one(use_mis, prev_pdf, light_pdf):
@@ -72,10 +107,11 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
     aux_n0 = jnp.zeros((N, 3), jnp.float32)
 
     ghost0 = jnp.zeros(N, bool)
+    med0 = jnp.broadcast_to(scene.camera_medium, (N,)).astype(jnp.int32)
 
     def bounce_body(carry, bounce):
         (o, d, beta, L, alive, spec, prev_pdf, eta_scale,
-         aux_t, aux_n, ghost, ray_count) = carry
+         aux_t, aux_n, ghost, med, ray_count) = carry
         k_light_sel = smplr.wave_key(key, 0, bounce, smplr.DIM_LIGHT_SELECT)
         k_light = smplr.wave_key(key, 0, bounce, smplr.DIM_LIGHT_SAMPLE)
         k_lobe = smplr.wave_key(key, 0, bounce, smplr.DIM_BSDF_LOBE)
@@ -94,9 +130,45 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
 
         found = hit.valid & alive
 
+        # ---------- participating medium event sampling ----------
+        # (ref: homogeneous.cpp HomogeneousMedium::Sample — channel-mixed
+        # distance sampling with analytic transmittance)
+        scatter = jnp.zeros(N, bool)
+        p_med = o
+        if cfg.volumetric:
+            k_med = smplr.wave_key(key, 0, bounce, smplr.DIM_PROBE)
+            u_med = smplr.uniform(k_med, (N, 2))
+            medc = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
+            sig_a = jnp.take(scene.med_sigma_a, medc, axis=0)
+            sig_s = jnp.take(scene.med_sigma_s, medc, axis=0)
+            sig_t = sig_a + sig_s
+            in_med = alive & (med >= 0)
+            ch = jnp.minimum((u_med[:, 0] * 3).astype(jnp.int32), 2)
+            st_ch = jnp.take_along_axis(sig_t, ch[:, None], axis=-1)[:, 0]
+            t_surf = jnp.where(hit.valid, hit.t,
+                               2.0 * scene.world_radius / jnp.maximum(
+                                   vm.length(d), 1e-9))
+            t_med = jnp.where(
+                st_ch > 0.0,
+                -jnp.log(jnp.maximum(1.0 - u_med[:, 1], 1e-9))
+                / jnp.maximum(st_ch, 1e-9), 1e30)
+            scatter = in_med & (t_med < t_surf) & (st_ch > 0.0)
+            t_eff = jnp.minimum(t_med, t_surf)
+            tr = jnp.exp(-sig_t * t_eff[:, None])
+            pdf_med = jnp.mean(sig_t * tr, axis=-1)
+            pdf_surf = jnp.mean(tr, axis=-1)
+            w_med = jnp.where(
+                scatter[:, None], tr * sig_s / jnp.maximum(
+                    pdf_med, 1e-20)[:, None],
+                tr / jnp.maximum(pdf_surf, 1e-20)[:, None])
+            beta = jnp.where(in_med[:, None], beta * w_med, beta)
+            p_med = o + t_eff[:, None] * d
+            # scattered rays did not reach the surface this segment
+            found = found & (~scatter)
+
         # ---------- emitted radiance ----------
         # escaped rays: infinite lights
-        esc = alive & (~hit.valid)
+        esc = alive & (~hit.valid) & (~scatter)
         env = lightlib.environment_le(scene, d)
         n_l = jnp.maximum(scene.n_lights, 1).astype(jnp.float32)
         inf_sel_pdf = 1.0 / n_l
@@ -139,25 +211,66 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
         params = bsdflib.gather_params(scene, jnp.maximum(it.mat, 0),
                                        uv=it.uv, p=it.p)
         black = bsdflib.is_black(params)
-        alive = alive & (~black)
+        if cfg.volumetric:
+            # null-material medium boundary: pass through, switch medium
+            # (ref: iispt_d.cpp 'skip intersection due to null bsdf')
+            T = scene.tri_p0.shape[0]
+            tid = jnp.clip(hit.prim, 0, T - 1)
+            is_tri = (hit.prim >= 0) & (hit.prim < T)
+            entering = vm.dot(d, it.ng) < 0.0
+            m_in = jnp.take(scene.tri_med_in, tid)
+            m_out = jnp.take(scene.tri_med_out, tid)
+            has_iface = is_tri & ((m_in >= 0) | (m_out >= 0))
+            passthrough = found & black & has_iface
+            alive = alive & ((~black) | passthrough)
+            # medium vertices stay alive regardless of surface material
+            alive = alive | (scatter & (bounce < cfg.max_depth))
+        else:
+            alive = alive & (~black)
+            passthrough = jnp.zeros(N, bool)
+
+        if cfg.volumetric:
+            medc = jnp.clip(med, 0, scene.med_g.shape[0] - 1)
+            g_hg = jnp.take(scene.med_g, medc)
 
         # ---------- NEE ----------
         def nee_once(light_id, sel_pdf, u_l, extra_mask):
-            ls = lightlib.sample_li(scene, light_id, it.p, u_l)
+            p_ref = jnp.where(scatter[:, None], p_med, it.p) \
+                if cfg.volumetric else it.p
+            ls = lightlib.sample_li(scene, light_id, p_ref, u_l)
             wi_l = vm.to_local(ls.wi, t_f, b_f, ns)
             f_l, scat_pdf = bsdflib.evaluate(params, wo_l, wi_l)
             scat_pdf = sg(scat_pdf)
             cos_l = vm.absdot(ls.wi, ns)
-            can_nee = alive & bsdflib.has_nonspecular(params) & \
+            can_nee = alive & (bsdflib.has_nonspecular(params) | scatter) & \
                 (ls.pdf > 0.0) & (vm.luminance(ls.li) > 0.0) & \
                 (scene.n_lights > 0) & extra_mask
-            o_sh = vm.offset_ray_origin(it.p, ng_f, ls.wi)
+            if cfg.volumetric:
+                # medium vertex: phase function replaces the BSDF
+                ph = _hg_p(vm.dot(-d, ls.wi), g_hg)
+                f_l = jnp.where(scatter[:, None], ph[:, None], f_l)
+                scat_pdf = jnp.where(scatter, ph, scat_pdf)
+                cos_l = jnp.where(scatter, 1.0, cos_l)
+            o_sh = jnp.where(scatter[:, None], p_med,
+                             vm.offset_ray_origin(it.p, ng_f, ls.wi)) \
+                if cfg.volumetric else \
+                vm.offset_ray_origin(it.p, ng_f, ls.wi)
             occ = isect.occluded(scene, o_sh, ls.wi, ls.dist * 0.999,
                                  use_pallas=cfg.use_pallas)
             vis = can_nee & (~occ)
             w_l = jnp.where(ls.is_delta, 1.0,
                             smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf))
-            contrib = beta * f_l * ls.li * (cos_l * w_l / jnp.maximum(
+            li = ls.li
+            if cfg.volumetric:
+                # approximate shadow transmittance through the own medium
+                # (exact for unbounded fog; boundary crossings ignored)
+                medc2 = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
+                sig_t2 = (jnp.take(scene.med_sigma_a, medc2, axis=0)
+                          + jnp.take(scene.med_sigma_s, medc2, axis=0))
+                tr_sh = jnp.exp(-sig_t2 * jnp.minimum(
+                    ls.dist, 4.0 * scene.world_radius)[:, None])
+                li = jnp.where((med >= 0)[:, None], li * tr_sh, li)
+            contrib = beta * f_l * li * (cos_l * w_l / jnp.maximum(
                 ls.pdf * sel_pdf, 1e-12))[:, None]
             return jnp.where(vis[:, None], contrib, 0.0)
 
@@ -186,8 +299,19 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
         cos_w = sg(vm.absdot(wi_w, ns))
         beta_new = beta * bs.f * (cos_w / jnp.maximum(sg(bs.pdf),
                                                       1e-12))[:, None]
+        if cfg.volumetric:
+            # medium vertex: sample Henyey-Greenstein (ref: medium.cpp
+            # HenyeyGreenstein::Sample_p); beta unchanged (p/pdf = 1)
+            wi_hg, pdf_hg = _hg_sample(-d, g_hg, u_dir)
+            wi_w = jnp.where(scatter[:, None], wi_hg, wi_w)
+            beta_new = jnp.where(scatter[:, None], beta, beta_new)
+            # null-material passthrough: continue straight, beta unchanged
+            wi_w = jnp.where(passthrough[:, None], d, wi_w)
+            beta_new = jnp.where(passthrough[:, None], beta, beta_new)
         ok = bs.valid & alive & (vm.luminance(jnp.abs(beta_new)) > 0.0) & \
             jnp.isfinite(vm.luminance(beta_new))
+        if cfg.volumetric:
+            ok = ok | (alive & (scatter | passthrough))
         beta = jnp.where(ok[:, None], beta_new, beta)
         alive = alive & ok
         if cfg.direct_only:
@@ -197,6 +321,14 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
             ghost = alive & (~bs.is_specular)
         spec = bs.is_specular
         prev_pdf = sg(jnp.where(bs.is_specular, 1.0, bs.pdf))
+        if cfg.volumetric:
+            spec = jnp.where(scatter, False, jnp.where(passthrough, True,
+                                                       spec))
+            prev_pdf = jnp.where(scatter, pdf_hg, prev_pdf)
+            # medium transitions on transmission / passthrough
+            crossing = (bs.is_transmission & ~scatter) | passthrough
+            new_med = jnp.where(entering, m_in, m_out)
+            med = jnp.where(found & crossing & is_tri, new_med, med)
 
         # refraction radiance scaling bookkeeping (path.cpp:160-168)
         eta_rel = jnp.where(vm.dot(it.wo, it.ng) > 0.0,
@@ -205,6 +337,8 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
                               eta_scale * eta_rel * eta_rel, eta_scale)
 
         o = vm.offset_ray_origin(it.p, ng_f, wi_w)
+        if cfg.volumetric:
+            o = jnp.where(scatter[:, None], p_med, o)
         d = wi_w
 
         # ---------- russian roulette (path.cpp:185-192) ----------
@@ -218,14 +352,14 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
                          beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
 
         return (o, d, beta, L, alive, spec, prev_pdf, eta_scale,
-                aux_t, aux_n, ghost, ray_count), None
+                aux_t, aux_n, ghost, med, ray_count), None
 
     carry0 = (o0, d0, beta0, L0, alive0, spec0, prev_pdf0, eta_scale0,
-              aux_t0, aux_n0, ghost0, jnp.zeros((), jnp.int32))
+              aux_t0, aux_n0, ghost0, med0, jnp.zeros((), jnp.int32))
     # max_depth bounces of scattering => max_depth+1 segments traced
     bounces = jnp.arange(cfg.max_depth + 1)
     carry, _ = jax.lax.scan(bounce_body, carry0, bounces)
-    (_, _, _, L, _, _, _, _, aux_t, aux_n, _, ray_count) = carry
+    (_, _, _, L, _, _, _, _, aux_t, aux_n, _, _, ray_count) = carry
     L = jnp.where(jnp.isfinite(L), L, 0.0)
     if collect_aux:
         return L, dict(distance=aux_t, normal=aux_n, rays=ray_count)

@@ -25,12 +25,14 @@ from . import path as pathlib_
 
 def make_integrator_config(sd: apilib.SceneDesc, use_pallas=False):
     kind = sd.integrator.kind
+    has_media = len(getattr(sd, "media", [])) > 0
     if kind in ("path", "volpath", "bdpt", "mlt", "sppm", "iispt"):
-        # volpath/bdpt/mlt/sppm estimate full transport; the wavefront
-        # path estimator covers their surface-transport output
+        # bdpt/mlt/sppm estimate the same transport; the wavefront path
+        # estimator covers their output for the target scene class
         return pathlib_.PathConfig(
             max_depth=sd.integrator.max_depth,
             rr_threshold=sd.integrator.rr_threshold,
+            volumetric=(kind == "volpath" or has_media),
             use_pallas=use_pallas,
         )
     if kind == "directlighting":

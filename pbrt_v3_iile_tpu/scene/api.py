@@ -100,6 +100,15 @@ class LightRecord:
 
 
 @dataclasses.dataclass
+class MediumRecord:
+    """Homogeneous participating medium (ref: src/media/homogeneous.cpp
+    HomogeneousMedium; grid media degrade to their average density)."""
+    sigma_a: np.ndarray = None
+    sigma_s: np.ndarray = None
+    g: float = 0.0
+
+
+@dataclasses.dataclass
 class TextureRecord:
     name: str
     kind: str                      # constant|scale|mix|checkerboard|imagemap|...
@@ -179,9 +188,13 @@ class SceneDesc:
         self.lights: list[LightRecord] = []
         self.textures: dict[str, TextureRecord] = {}
         self.named_materials: dict[str, int] = {}
+        self.media: list[MediumRecord] = []
+        self.named_media: dict[str, int] = {}
+        self.camera_medium: int = -1
         self.n_triangles = 0
 
-    def add_triangles(self, p, n, uv, mat_id, light_id=-1):
+    def add_triangles(self, p, n, uv, mat_id, light_id=-1,
+                      med_in=-1, med_out=-1):
         cnt = p.shape[0]
         if cnt == 0:
             return self.n_triangles
@@ -193,6 +206,8 @@ class SceneDesc:
                 uv=None if uv is None else uv.astype(np.float32),
                 mat=np.full(cnt, mat_id, dtype=np.int32),
                 light=np.full(cnt, light_id, dtype=np.int32),
+                med_in=np.full(cnt, med_in, dtype=np.int32),
+                med_out=np.full(cnt, med_out, dtype=np.int32),
             )
         )
         self.n_triangles += cnt
@@ -204,12 +219,16 @@ class _GraphicsState:
         self.material_index = 0
         self.area_light: Optional[ParamSet] = None
         self.reverse_orientation = False
+        self.medium_in = -1
+        self.medium_out = -1
 
     def copy(self):
         g = _GraphicsState()
         g.material_index = self.material_index
         g.area_light = self.area_light
         g.reverse_orientation = self.reverse_orientation
+        g.medium_in = self.medium_in
+        g.medium_out = self.medium_out
         return g
 
 
@@ -332,10 +351,23 @@ class Api:
         self.scene.accelerator = kind
 
     def MakeNamedMedium(self, name, ps: ParamSet):
-        pass  # media: homogeneous/grid not yet supported on the wavefront
+        """(ref: api.cpp pbrtMakeNamedMedium + media/homogeneous.cpp
+        defaults sigma_a=1, sigma_s=1 scaled by 'scale')."""
+        sc = ps.find_one_float("scale", 1.0)
+        rec = MediumRecord(
+            sigma_a=ps.find_one_rgb("sigma_a", [1, 1, 1]) * sc,
+            sigma_s=ps.find_one_rgb("sigma_s", [1, 1, 1]) * sc,
+            g=ps.find_one_float("g", 0.0),
+        )
+        self.scene.media.append(rec)
+        self.scene.named_media[name] = len(self.scene.media) - 1
 
     def MediumInterface(self, inside, outside):
-        pass
+        self.gs.medium_in = self.scene.named_media.get(inside, -1)
+        self.gs.medium_out = self.scene.named_media.get(outside, -1)
+        if not self.in_world:
+            # pre-world: the camera sits in the 'outside' medium
+            self.scene.camera_medium = self.gs.medium_out
 
     # ------------------------------------------------------------------
     # world block
@@ -534,7 +566,8 @@ class Api:
         if tri is None:
             return
         p, n, uv = tri
-        start = sd.add_triangles(p, n, uv, gs.material_index, light_id)
+        start = sd.add_triangles(p, n, uv, gs.material_index, light_id,
+                                 med_in=gs.medium_in, med_out=gs.medium_out)
         if light_id >= 0:
             sd.lights[light_id].tri_start = start
             sd.lights[light_id].tri_count = p.shape[0]

@@ -87,6 +87,14 @@ class DeviceScene(NamedTuple):
     ltri_area: jnp.ndarray   # (K,)
     ltri_cdf: jnp.ndarray    # (K,) per-light-normalized cumulative area
     ltri_light: jnp.ndarray  # (K,) i32 owning light
+    # --- media (homogeneous) ---
+    med_sigma_a: jnp.ndarray   # (D,3)
+    med_sigma_s: jnp.ndarray   # (D,3)
+    med_g: jnp.ndarray         # (D,)
+    tri_med_in: jnp.ndarray    # (T,) i32 interior medium id or -1
+    tri_med_out: jnp.ndarray   # (T,) i32 exterior medium id or -1
+    camera_medium: jnp.ndarray  # () i32
+    n_media: jnp.ndarray        # () i32
     # --- environment map (first infinite light with a mapname) ---
     env_img: jnp.ndarray        # (EH, EW, 3) radiance (already scaled by L)
     env_marg_cdf: jnp.ndarray   # (EH,) row-marginal CDF over sin-weighted lum
@@ -122,16 +130,25 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
              for b in sd.tri_blocks], axis=0)
         mat = np.concatenate([b["mat"] for b in sd.tri_blocks])
         lig = np.concatenate([b["light"] for b in sd.tri_blocks])
+        m_in = np.concatenate([b.get("med_in", np.full(b["p"].shape[0], -1,
+                                                       np.int32))
+                               for b in sd.tri_blocks])
+        m_out = np.concatenate([b.get("med_out", np.full(b["p"].shape[0], -1,
+                                                         np.int32))
+                                for b in sd.tri_blocks])
     else:
         p = np.zeros((1, 3, 3), np.float32)
         ns = np.zeros((1, 3, 3), np.float32)
         uv = np.zeros((1, 3, 2), np.float32)
         mat = np.zeros(1, np.int32)
         lig = np.full(1, -1, np.int32)
+        m_in = np.full(1, -1, np.int32)
+        m_out = np.full(1, -1, np.int32)
 
     flat = bvhlib.build_bvh(p, use_native=use_native_bvh)
     order = flat.prim_order
     p, ns, uv, mat, lig = p[order], ns[order], uv[order], mat[order], lig[order]
+    m_in, m_out = m_in[order], m_out[order]
 
     e1 = p[:, 1] - p[:, 0]
     e2 = p[:, 2] - p[:, 0]
@@ -277,6 +294,16 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         l2s[i] = 1.0 if lrec.two_sided else 0.0
         lsph[i] = lrec.sphere_index
 
+    # ---- media ----
+    D = max(1, len(sd.media))
+    med_a = np.zeros((D, 3), np.float32)
+    med_s = np.zeros((D, 3), np.float32)
+    med_g = np.zeros(D, np.float32)
+    for i, mrec in enumerate(sd.media):
+        med_a[i] = mrec.sigma_a
+        med_s[i] = mrec.sigma_s
+        med_g[i] = mrec.g
+
     # ---- environment map ----
     env = _build_env_map(sd)
 
@@ -343,6 +370,9 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         ltri_p0=f32(ltri_p0), ltri_e1=f32(ltri_e1), ltri_e2=f32(ltri_e2),
         ltri_ng=f32(ltri_ng), ltri_area=f32(ltri_area),
         ltri_cdf=f32(ltri_cdf), ltri_light=i32(ltri_light),
+        med_sigma_a=f32(med_a), med_sigma_s=f32(med_s), med_g=f32(med_g),
+        tri_med_in=i32(m_in), tri_med_out=i32(m_out),
+        camera_medium=i32(sd.camera_medium), n_media=i32(len(sd.media)),
         env_img=f32(env["img"]), env_marg_cdf=f32(env["marg"]),
         env_cond_cdf=f32(env["cond"]), env_pdf=f32(env["pdf"]),
         env_to_world=f32(env["to_world"]), env_world_to=f32(env["world_to"]),
