@@ -8,13 +8,42 @@ whole-frame numbers are an i7-4770 CPU, see BASELINE.md).
 
 import json
 import os
+import subprocess
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 TARGET_MRAYS = 100.0
 
 
+def _tpu_alive(timeout_s: int = 150) -> bool:
+    """Probe the TPU in a subprocess (a wedged TPU relay can hang the
+    whole interpreter at import time)."""
+    code = ("import jax, jax.numpy as jnp;"
+            "assert float((jnp.ones((64,64))@jnp.ones((64,64))).sum())>0")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    # wait up to ~12 min for the chip; fall back to CPU (honestly slow)
+    # rather than hanging the driver
+    deadline = time.time() + float(os.environ.get("BENCH_TPU_WAIT_S", "720"))
+    while not _tpu_alive():
+        if time.time() > deadline:
+            print("bench: TPU unavailable, falling back to CPU",
+                  file=sys.stderr)
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            os.environ.pop("PYTHONPATH", None)
+            break
+        time.sleep(30)
+
     import jax
 
     from pbrt_v3_iile_tpu.scene import api as apilib

@@ -81,12 +81,14 @@ def intersect_bvh(scene, o, d, t_max, any_hit: bool = False) -> Hit:
         active = node >= 0
         nid = jnp.maximum(node, 0)
 
-        # one contiguous-row gather per step (packed layout)
-        nd = jnp.take(scene.nodes_packed, nid, axis=0)  # (N,8)
-        nmin = nd[:, 0:3]
-        nmax = nd[:, 3:6]
-        nright = jax.lax.bitcast_convert_type(nd[:, 6], jnp.int32)
-        meta = jax.lax.bitcast_convert_type(nd[:, 7], jnp.int32)
+        # one contiguous-row gather per step (packed i32 layout; float
+        # bounds are bitcast back — raw f32 storage of int ids would be
+        # flushed as denormals by the TPU VPU)
+        nd = jnp.take(scene.nodes_packed, nid, axis=0)  # (N,8) i32
+        nmin = jax.lax.bitcast_convert_type(nd[:, 0:3], jnp.float32)
+        nmax = jax.lax.bitcast_convert_type(nd[:, 3:6], jnp.float32)
+        nright = nd[:, 6]
+        meta = nd[:, 7]
         ncount = meta >> 2
         naxis = meta & 3
 

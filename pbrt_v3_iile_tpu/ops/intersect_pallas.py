@@ -56,12 +56,12 @@ def _traverse_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
 
     def body(carry):
         node, sp, t, prim, b1, b2 = carry
-        ndr = nodes_ref[pl.ds(node, 1), :]        # (1, 8) scalar row
-        nd = lambda k: ndr[0, k]
-        nmin = (nd(0), nd(1), nd(2))
-        nmax = (nd(3), nd(4), nd(5))
-        nright = jax.lax.bitcast_convert_type(nd(6), jnp.int32)
-        meta = jax.lax.bitcast_convert_type(nd(7), jnp.int32)
+        ndr = nodes_ref[pl.ds(node, 1), :]        # (1, 8) i32 scalar row
+        ndf = lambda k: jax.lax.bitcast_convert_type(ndr[0, k], jnp.float32)
+        nmin = (ndf(0), ndf(1), ndf(2))
+        nmax = (ndf(3), ndf(4), ndf(5))
+        nright = ndr[0, 6]
+        meta = ndr[0, 7]
         ncount = meta >> 2
         naxis = meta & 3
 
