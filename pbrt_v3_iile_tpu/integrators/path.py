@@ -40,6 +40,8 @@ class PathConfig(NamedTuple):
                                       # (ref: directlighting.cpp WhittedLike)
     skip_bounce0_le: bool = False     # IILE probe mode (iispt_d.cpp:116)
     use_pallas: bool = False
+    staged: bool = False              # host-side bounce loop (one jitted
+                                      # step per bounce) instead of scan
     volumetric: bool = False          # homogeneous media transport
                                       # (ref: src/integrators/volpath.cpp +
                                       #  media/homogeneous.cpp)
@@ -110,8 +112,48 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
     med0 = jnp.broadcast_to(scene.camera_medium, (N,)).astype(jnp.int32)
 
     def bounce_body(carry, bounce):
-        (o, d, beta, L, alive, spec, prev_pdf, eta_scale,
-         aux_t, aux_n, ghost, med, ray_count) = carry
+        return _bounce(scene, carry, bounce, key, cfg, collect_aux), None
+
+    carry0 = (o0, d0, beta0, L0, alive0, spec0, prev_pdf0, eta_scale0,
+              aux_t0, aux_n0, ghost0, med0, jnp.zeros((), jnp.int32))
+    # max_depth bounces of scattering => max_depth+1 segments traced
+    if cfg.staged:
+        # host-side bounce loop with ONE cached jitted step per
+        # (shape, cfg): keeps each device program small (the remote TPU
+        # compile service rejects oversized modules) and is the natural
+        # wavefront staging point for sorting/compaction
+        step = _staged_step(cfg, collect_aux)
+        carry = carry0
+        for b in range(cfg.max_depth + 1):
+            carry = step(scene, carry, jnp.int32(b), key)
+    else:
+        bounces = jnp.arange(cfg.max_depth + 1)
+        carry, _ = jax.lax.scan(bounce_body, carry0, bounces)
+    (_, _, _, L, _, _, _, _, aux_t, aux_n, _, _, ray_count) = carry
+    L = jnp.where(jnp.isfinite(L), L, 0.0)
+    if collect_aux:
+        return L, dict(distance=aux_t, normal=aux_n, rays=ray_count)
+    return L, dict(rays=ray_count)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _staged_step(cfg: PathConfig, collect_aux: bool):
+    @jax.jit
+    def step(scene, carry, bounce, key):
+        return _bounce(scene, carry, bounce, key, cfg, collect_aux)
+    return step
+
+
+def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool):
+    """One wavefront bounce: intersect -> medium event -> Le -> NEE ->
+    BSDF/phase continuation -> RR.  See trace_paths for semantics."""
+    (o, d, beta, L, alive, spec, prev_pdf, eta_scale,
+     aux_t, aux_n, ghost, med, ray_count) = carry
+    N = o.shape[0]
+    if True:
         k_light_sel = smplr.wave_key(key, 0, bounce, smplr.DIM_LIGHT_SELECT)
         k_light = smplr.wave_key(key, 0, bounce, smplr.DIM_LIGHT_SAMPLE)
         k_lobe = smplr.wave_key(key, 0, bounce, smplr.DIM_BSDF_LOBE)
@@ -352,15 +394,4 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
                          beta / jnp.maximum(1.0 - q, 1e-6)[:, None], beta)
 
         return (o, d, beta, L, alive, spec, prev_pdf, eta_scale,
-                aux_t, aux_n, ghost, med, ray_count), None
-
-    carry0 = (o0, d0, beta0, L0, alive0, spec0, prev_pdf0, eta_scale0,
-              aux_t0, aux_n0, ghost0, med0, jnp.zeros((), jnp.int32))
-    # max_depth bounces of scattering => max_depth+1 segments traced
-    bounces = jnp.arange(cfg.max_depth + 1)
-    carry, _ = jax.lax.scan(bounce_body, carry0, bounces)
-    (_, _, _, L, _, _, _, _, aux_t, aux_n, _, _, ray_count) = carry
-    L = jnp.where(jnp.isfinite(L), L, 0.0)
-    if collect_aux:
-        return L, dict(distance=aux_t, normal=aux_n, rays=ray_count)
-    return L, dict(rays=ray_count)
+                aux_t, aux_n, ghost, med, ray_count)

@@ -35,8 +35,9 @@ STACK = 96
 VMEM_SCENE_LIMIT = 220_000  # max triangles for VMEM-resident mode
 
 
-def _traverse_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
-                     t_out, prim_out, b1_out, b2_out, stack, *, any_hit):
+def _traverse_kernel(nodes_ref, bounds_ref, tris_ref, ox, oy, oz, dx, dy,
+                     dz, tmax_ref, t_out, prim_out, b1_out, b2_out, stack,
+                     *, any_hit):
     """One packet vs the whole BVH. All ray refs are (SUB, LANE)."""
     o = (ox[...], oy[...], oz[...])
     d = (dx[...], dy[...], dz[...])
@@ -57,7 +58,8 @@ def _traverse_kernel(nodes_ref, tris_ref, ox, oy, oz, dx, dy, dz, tmax_ref,
     def body(carry):
         node, sp, t, prim, b1, b2 = carry
         ndr = nodes_ref[pl.ds(node, 1), :]        # (1, 8) i32 scalar row
-        ndf = lambda k: jax.lax.bitcast_convert_type(ndr[0, k], jnp.float32)
+        ndb = bounds_ref[pl.ds(node, 1), :]       # (1, 8) f32 bounds row
+        ndf = lambda k: ndb[0, k]
         nmin = (ndf(0), ndf(1), ndf(2))
         nmax = (ndf(3), ndf(4), ndf(5))
         nright = ndr[0, 6]
@@ -183,10 +185,10 @@ def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
                             memory_space=pltpu.VMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def wrapped(nodes_ref, tris_ref, oxr, oyr, ozr, dxr, dyr, dzr, tmr,
-                t_out, p_out, b1_out, b2_out, stack):
+    def wrapped(nodes_ref, bounds_ref, tris_ref, oxr, oyr, ozr, dxr, dyr,
+                dzr, tmr, t_out, p_out, b1_out, b2_out, stack):
         _traverse_kernel(
-            nodes_ref, tris_ref,
+            nodes_ref, bounds_ref, tris_ref,
             oxr.at[0], oyr.at[0], ozr.at[0],
             dxr.at[0], dyr.at[0], dzr.at[0], tmr.at[0],
             t_out.at[0], p_out.at[0], b1_out.at[0], b2_out.at[0],
@@ -204,12 +206,13 @@ def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
     t, prim, b1, b2 = pl.pallas_call(
         wrapped,
         grid=(n_pack,),
-        in_specs=[scene_spec, scene_spec] + [ray_spec] * 7,
+        in_specs=[scene_spec, scene_spec, scene_spec] + [ray_spec] * 7,
         out_specs=[out_spec] * 4,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         interpret=interpret,
-    )(scene.nodes_packed, scene.tris_packed, ox, oy, oz, dx, dy, dz, tm)
+    )(scene.nodes_packed, scene.nodes_bounds, scene.tris_packed,
+      ox, oy, oz, dx, dy, dz, tm)
 
     t = t.reshape(-1)[:N]
     prim = prim.reshape(-1)[:N]

@@ -39,6 +39,7 @@ class DeviceScene(NamedTuple):
     # int32 storage: float bit patterns survive TPU denormal flushing,
     # raw small ints stored as f32 would not
     nodes_packed: jnp.ndarray  # (M,8) i32: bits(min3), bits(max3), right, count<<2|axis
+    nodes_bounds: jnp.ndarray  # (M,8) f32: min3, max3, pad2 (pallas scalar reads)
     tris_packed: jnp.ndarray   # (T,12) f32: p0, e1, e2, pad
     # --- analytic spheres (emitters) ---
     sph_center: jnp.ndarray  # (S,3)
@@ -338,6 +339,9 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     nodes_packed[:, 6] = flat.node_right.astype(np.int32)
     nodes_packed[:, 7] = ((flat.node_count.astype(np.int32) << 2)
                           | flat.node_axis.astype(np.int32))
+    nodes_bounds = np.zeros((M_nodes, 8), np.float32)
+    nodes_bounds[:, 0:3] = flat.node_min
+    nodes_bounds[:, 3:6] = flat.node_max
     T_tris = p.shape[0]
     tris_packed = np.zeros((T_tris, 12), np.float32)
     tris_packed[:, 0:3] = p[:, 0]
@@ -351,7 +355,8 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         node_min=f32(flat.node_min), node_max=f32(flat.node_max),
         node_right=i32(flat.node_right), node_count=i32(flat.node_count),
         node_axis=i32(flat.node_axis),
-        nodes_packed=i32(nodes_packed), tris_packed=f32(tris_packed),
+        nodes_packed=i32(nodes_packed), nodes_bounds=f32(nodes_bounds),
+        tris_packed=f32(tris_packed),
         sph_center=f32(sph_center), sph_radius=f32(sph_radius),
         sph_mat=i32(sph_mat), sph_light=i32(sph_light),
         n_spheres=i32(len(sd.spheres)),
