@@ -33,21 +33,19 @@ PACKET = 1024            # rays per grid program: one (8, 128) tile
 SUB, LANE = 8, 128
 STACK = 96
 VMEM_SCENE_LIMIT = 220_000  # max triangles for VMEM-resident mode
+MAX_PACKETS_PER_CALL = 16   # scene (~8MB) + 16 ray packets stays < 16MB VMEM
 
 
-def _traverse_kernel(nodes_ref, bounds_ref, tris_ref, ox, oy, oz, dx, dy,
-                     dz, tmax_ref, t_out, prim_out, b1_out, b2_out, stack,
+def _traverse_packet(nodes_ref, bounds_ref, tris_ref, o, d, t0, stack,
                      *, any_hit):
-    """One packet vs the whole BVH. All ray refs are (SUB, LANE)."""
-    o = (ox[...], oy[...], oz[...])
-    d = (dx[...], dy[...], dz[...])
+    """One packet vs the whole BVH.  o, d: 3-tuples of (SUB, LANE)
+    values; t0 (SUB, LANE).  Returns (t, prim, b1, b2)."""
     inv = tuple(
         jnp.where(jnp.abs(dc) > 1e-12,
                   1.0 / jnp.where(dc == 0.0, 1.0, dc),
                   jnp.where(dc >= 0.0, 1e30, -1e30))
         for dc in d)
 
-    t0 = tmax_ref[...]
     prim0 = jnp.full((SUB, LANE), -1, jnp.int32)
     z = jnp.zeros((SUB, LANE), jnp.float32)
 
@@ -155,16 +153,54 @@ def _traverse_kernel(nodes_ref, bounds_ref, tris_ref, ox, oy, oz, dx, dy,
 
     node, sp, t, prim, b1, b2 = jax.lax.while_loop(
         cond, body, (0, 0, t0, prim0, z, z))
-    t_out[...] = t
-    prim_out[...] = prim
-    b1_out[...] = b1
-    b2_out[...] = b2
+    return t, prim, b1, b2
+
+
+def _traverse_kernel(nodes_ref, bounds_ref, tris_ref, ox, oy, oz, dx, dy,
+                     dz, tmax_ref, t_out, prim_out, b1_out, b2_out, stack,
+                     *, any_hit, n_pack):
+    """Gridless kernel: sequential fori over packets.  A single program
+    avoids Mosaic's input double-buffering (the whole scene would be
+    staged twice and blow the 16MB VMEM scoped limit)."""
+
+    def packet_body(pk, _):
+        o = (ox[pk], oy[pk], oz[pk])
+        d = (dx[pk], dy[pk], dz[pk])
+        t, prim, b1, b2 = _traverse_packet(
+            nodes_ref, bounds_ref, tris_ref, o, d, tmax_ref[pk], stack,
+            any_hit=any_hit)
+        t_out[pk] = t
+        prim_out[pk] = prim
+        b1_out[pk] = b1
+        b2_out[pk] = b2
+        return 0
+
+    jax.lax.fori_loop(0, n_pack, packet_body, 0)
 
 
 def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
                          interpret: bool = False) -> Hit:
-    """Drop-in replacement for intersect.intersect_bvh (triangles only)."""
+    """Drop-in replacement for intersect.intersect_bvh (triangles only).
+
+    Large waves are split over several pallas_calls of at most
+    MAX_PACKETS_PER_CALL packets so the per-call VMEM footprint (scene +
+    staged ray blocks) stays under the 16MB scoped limit."""
     N = o.shape[0]
+    max_call = MAX_PACKETS_PER_CALL * PACKET
+    if N > max_call:
+        hits = []
+        for s0 in range(0, N, max_call):
+            s1 = min(s0 + max_call, N)
+            hits.append(intersect_bvh_pallas(
+                scene, o[s0:s1], d[s0:s1], t_max[s0:s1], any_hit=any_hit,
+                interpret=interpret))
+        return Hit(
+            t=jnp.concatenate([h.t for h in hits]),
+            prim=jnp.concatenate([h.prim for h in hits]),
+            b1=jnp.concatenate([h.b1 for h in hits]),
+            b2=jnp.concatenate([h.b2 for h in hits]),
+            valid=jnp.concatenate([h.valid for h in hits]),
+        )
     n_pack = max(1, -(-N // PACKET))
     Np = n_pack * PACKET
     pad = Np - N
@@ -181,18 +217,9 @@ def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
     dz = shape2(d[:, 2], 0.0)
     tm = shape2(t_max, -1.0)  # padded rays: tmax<0 -> no hits
 
-    ray_spec = pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    def wrapped(nodes_ref, bounds_ref, tris_ref, oxr, oyr, ozr, dxr, dyr,
-                dzr, tmr, t_out, p_out, b1_out, b2_out, stack):
-        _traverse_kernel(
-            nodes_ref, bounds_ref, tris_ref,
-            oxr.at[0], oyr.at[0], ozr.at[0],
-            dxr.at[0], dyr.at[0], dzr.at[0], tmr.at[0],
-            t_out.at[0], p_out.at[0], b1_out.at[0], b2_out.at[0],
-            stack, any_hit=any_hit)
+    vm_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    kernel = functools.partial(_traverse_kernel, any_hit=any_hit,
+                               n_pack=n_pack)
 
     out_shapes = [
         jax.ShapeDtypeStruct((n_pack, SUB, LANE), jnp.float32),
@@ -200,14 +227,11 @@ def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
         jax.ShapeDtypeStruct((n_pack, SUB, LANE), jnp.float32),
         jax.ShapeDtypeStruct((n_pack, SUB, LANE), jnp.float32),
     ]
-    out_spec = pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
 
     t, prim, b1, b2 = pl.pallas_call(
-        wrapped,
-        grid=(n_pack,),
-        in_specs=[scene_spec, scene_spec, scene_spec] + [ray_spec] * 7,
-        out_specs=[out_spec] * 4,
+        kernel,
+        in_specs=[vm_spec] * 10,
+        out_specs=[vm_spec] * 4,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         interpret=interpret,
