@@ -156,12 +156,23 @@ def _traverse_packet(nodes_ref, bounds_ref, tris_ref, o, d, t0, stack,
     return t, prim, b1, b2
 
 
-def _traverse_kernel(nodes_ref, bounds_ref, tris_ref, ox, oy, oz, dx, dy,
-                     dz, tmax_ref, t_out, prim_out, b1_out, b2_out, stack,
+def _traverse_kernel(nodes_hbm, bounds_hbm, tris_hbm, ox, oy, oz, dx, dy,
+                     dz, tmax_ref, t_out, prim_out, b1_out, b2_out,
+                     stack, nodes_ref, bounds_ref, tris_ref, sems,
                      *, any_hit, n_pack):
-    """Gridless kernel: sequential fori over packets.  A single program
-    avoids Mosaic's input double-buffering (the whole scene would be
-    staged twice and blow the 16MB VMEM scoped limit)."""
+    """Gridless kernel: DMA the scene HBM->VMEM scratch ONCE, then a
+    sequential fori over ray packets.  Keeping the scene out of the
+    operand-staging path avoids the XLA VMEM stack blowup (operands are
+    copied/double-buffered; scratch is allocated once)."""
+    cp_n = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
+    cp_b = pltpu.make_async_copy(bounds_hbm, bounds_ref, sems.at[1])
+    cp_t = pltpu.make_async_copy(tris_hbm, tris_ref, sems.at[2])
+    cp_n.start()
+    cp_b.start()
+    cp_t.start()
+    cp_n.wait()
+    cp_b.wait()
+    cp_t.wait()
 
     def packet_body(pk, _):
         o = (ox[pk], oy[pk], oz[pk])
@@ -218,6 +229,7 @@ def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
     tm = shape2(t_max, -1.0)  # padded rays: tmax<0 -> no hits
 
     vm_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     kernel = functools.partial(_traverse_kernel, any_hit=any_hit,
                                n_pack=n_pack)
 
@@ -227,13 +239,21 @@ def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
         jax.ShapeDtypeStruct((n_pack, SUB, LANE), jnp.float32),
         jax.ShapeDtypeStruct((n_pack, SUB, LANE), jnp.float32),
     ]
+    M = scene.nodes_packed.shape[0]
+    T = scene.tris_packed.shape[0]
 
     t, prim, b1, b2 = pl.pallas_call(
         kernel,
-        in_specs=[vm_spec] * 10,
+        in_specs=[hbm_spec] * 3 + [vm_spec] * 7,
         out_specs=[vm_spec] * 4,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.SMEM((STACK,), jnp.int32),
+            pltpu.VMEM((M, 8), jnp.int32),
+            pltpu.VMEM((M, 8), jnp.float32),
+            pltpu.VMEM((T, 12), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
         interpret=interpret,
     )(scene.nodes_packed, scene.nodes_bounds, scene.tris_packed,
       ox, oy, oz, dx, dy, dz, tm)
