@@ -33,7 +33,7 @@ PACKET = 1024            # rays per grid program: one (8, 128) tile
 SUB, LANE = 8, 128
 STACK = 96
 VMEM_SCENE_LIMIT = 220_000  # max triangles for VMEM-resident mode
-MAX_PACKETS_PER_CALL = 16   # scene (~8MB) + 16 ray packets stays < 16MB VMEM
+MAX_PACKETS_PER_CALL = 4096  # rays stream through HBM; no VMEM limit
 
 
 def _traverse_packet(nodes_ref, bounds_ref, tris_ref, o, d, t0, stack,
@@ -157,13 +157,14 @@ def _traverse_packet(nodes_ref, bounds_ref, tris_ref, o, d, t0, stack,
 
 
 def _traverse_kernel(nodes_hbm, bounds_hbm, tris_hbm, ox, oy, oz, dx, dy,
-                     dz, tmax_ref, t_out, prim_out, b1_out, b2_out,
-                     stack, nodes_ref, bounds_ref, tris_ref, sems,
-                     *, any_hit, n_pack):
-    """Gridless kernel: DMA the scene HBM->VMEM scratch ONCE, then a
-    sequential fori over ray packets.  Keeping the scene out of the
-    operand-staging path avoids the XLA VMEM stack blowup (operands are
-    copied/double-buffered; scratch is allocated once)."""
+                     dz, tmax_hbm, t_out, prim_out, b1_out, b2_out,
+                     stack, nodes_ref, bounds_ref, tris_ref, rays_vm,
+                     res_vm, res_i_vm, sems, *, any_hit, n_pack):
+    """Gridless kernel; ALL arrays live in HBM (XLA's operand staging
+    into VMEM both double-buffers and overlaps independent calls, blowing
+    the 16MB scoped limit).  The scene is DMA'd to VMEM scratch once;
+    each ray packet's 7 input tiles and 4 result tiles are DMA'd
+    per-packet (~50KB per packet — negligible vs packet compute)."""
     cp_n = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
     cp_b = pltpu.make_async_copy(bounds_hbm, bounds_ref, sems.at[1])
     cp_t = pltpu.make_async_copy(tris_hbm, tris_ref, sems.at[2])
@@ -174,16 +175,35 @@ def _traverse_kernel(nodes_hbm, bounds_hbm, tris_hbm, ox, oy, oz, dx, dy,
     cp_b.wait()
     cp_t.wait()
 
+    ins = (ox, oy, oz, dx, dy, dz, tmax_hbm)
+
     def packet_body(pk, _):
-        o = (ox[pk], oy[pk], oz[pk])
-        d = (dx[pk], dy[pk], dz[pk])
+        # DMA the packet's ray tiles in
+        for j in range(7):
+            pltpu.make_async_copy(ins[j].at[pk], rays_vm.at[j],
+                                  sems.at[3 + j]).start()
+        for j in range(7):
+            pltpu.make_async_copy(ins[j].at[pk], rays_vm.at[j],
+                                  sems.at[3 + j]).wait()
+        o = (rays_vm[0], rays_vm[1], rays_vm[2])
+        d = (rays_vm[3], rays_vm[4], rays_vm[5])
         t, prim, b1, b2 = _traverse_packet(
-            nodes_ref, bounds_ref, tris_ref, o, d, tmax_ref[pk], stack,
+            nodes_ref, bounds_ref, tris_ref, o, d, rays_vm[6], stack,
             any_hit=any_hit)
-        t_out[pk] = t
-        prim_out[pk] = prim
-        b1_out[pk] = b1
-        b2_out[pk] = b2
+        res_vm[0] = t
+        res_vm[1] = b1
+        res_vm[2] = b2
+        res_i_vm[0] = prim
+        pltpu.make_async_copy(res_vm.at[0], t_out.at[pk], sems.at[10]).start()
+        pltpu.make_async_copy(res_vm.at[1], b1_out.at[pk], sems.at[11]).start()
+        pltpu.make_async_copy(res_vm.at[2], b2_out.at[pk], sems.at[12]).start()
+        pltpu.make_async_copy(res_i_vm.at[0], prim_out.at[pk],
+                              sems.at[13]).start()
+        pltpu.make_async_copy(res_vm.at[0], t_out.at[pk], sems.at[10]).wait()
+        pltpu.make_async_copy(res_vm.at[1], b1_out.at[pk], sems.at[11]).wait()
+        pltpu.make_async_copy(res_vm.at[2], b2_out.at[pk], sems.at[12]).wait()
+        pltpu.make_async_copy(res_i_vm.at[0], prim_out.at[pk],
+                              sems.at[13]).wait()
         return 0
 
     jax.lax.fori_loop(0, n_pack, packet_body, 0)
@@ -228,7 +248,6 @@ def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
     dz = shape2(d[:, 2], 0.0)
     tm = shape2(t_max, -1.0)  # padded rays: tmax<0 -> no hits
 
-    vm_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     kernel = functools.partial(_traverse_kernel, any_hit=any_hit,
                                n_pack=n_pack)
@@ -244,15 +263,18 @@ def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
 
     t, prim, b1, b2 = pl.pallas_call(
         kernel,
-        in_specs=[hbm_spec] * 3 + [vm_spec] * 7,
-        out_specs=[vm_spec] * 4,
+        in_specs=[hbm_spec] * 10,
+        out_specs=[hbm_spec] * 4,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.SMEM((STACK,), jnp.int32),
             pltpu.VMEM((M, 8), jnp.int32),
             pltpu.VMEM((M, 8), jnp.float32),
             pltpu.VMEM((T, 12), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((7, SUB, LANE), jnp.float32),
+            pltpu.VMEM((3, SUB, LANE), jnp.float32),
+            pltpu.VMEM((1, SUB, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((14,)),
         ],
         interpret=interpret,
     )(scene.nodes_packed, scene.nodes_bounds, scene.tris_packed,
