@@ -55,13 +55,13 @@ def _traverse_packet(nodes_ref, bounds_ref, tris_ref, o, d, t0, stack,
 
     def body(carry):
         node, sp, t, prim, b1, b2 = carry
-        ndr = nodes_ref[pl.ds(node, 1), :]        # (1, 8) i32 scalar row
-        ndb = bounds_ref[pl.ds(node, 1), :]       # (1, 8) f32 bounds row
-        ndf = lambda k: ndb[0, k]
+        ndr = nodes_ref[:, pl.ds(node, 1)]        # (8, 1) i32 column
+        ndb = bounds_ref[:, pl.ds(node, 1)]       # (8, 1) f32 column
+        ndf = lambda k: ndb[k, 0]
         nmin = (ndf(0), ndf(1), ndf(2))
         nmax = (ndf(3), ndf(4), ndf(5))
-        nright = ndr[0, 6]
-        meta = ndr[0, 7]
+        nright = ndr[6, 0]
+        meta = ndr[7, 0]
         ncount = meta >> 2
         naxis = meta & 3
 
@@ -82,8 +82,8 @@ def _traverse_packet(nodes_ref, bounds_ref, tris_ref, o, d, t0, stack,
         # ---- leaf: up to 4 triangles, scalar rows broadcast ----
         def leaf_tri(k, st):
             t, prim, b1, b2 = st
-            trr = tris_ref[pl.ds(nright + k, 1), :]  # (1, 12)
-            tr = lambda j: trr[0, j]
+            trr = tris_ref[:, pl.ds(nright + k, 1)]  # (12, 1)
+            tr = lambda j: trr[j, 0]
             p0 = (tr(0), tr(1), tr(2))
             e1 = (tr(3), tr(4), tr(5))
             e2 = (tr(6), tr(7), tr(8))
@@ -158,55 +158,74 @@ def _traverse_packet(nodes_ref, bounds_ref, tris_ref, o, d, t0, stack,
 
 def _traverse_kernel(nodes_hbm, bounds_hbm, tris_hbm, ox, oy, oz, dx, dy,
                      dz, tmax_hbm, t_out, prim_out, b1_out, b2_out,
-                     stack, nodes_ref, bounds_ref, tris_ref, rays_vm,
-                     res_vm, res_i_vm, sems, *, any_hit, n_pack):
-    """Gridless kernel; ALL arrays live in HBM (XLA's operand staging
-    into VMEM both double-buffers and overlaps independent calls, blowing
-    the 16MB scoped limit).  The scene is DMA'd to VMEM scratch once;
-    each ray packet's 7 input tiles and 4 result tiles are DMA'd
-    per-packet (~50KB per packet — negligible vs packet compute)."""
-    cp_n = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
-    cp_b = pltpu.make_async_copy(bounds_hbm, bounds_ref, sems.at[1])
-    cp_t = pltpu.make_async_copy(tris_hbm, tris_ref, sems.at[2])
-    cp_n.start()
-    cp_b.start()
-    cp_t.start()
-    cp_n.wait()
-    cp_b.wait()
-    cp_t.wait()
+                     *, any_hit, n_pack):
+    """Gridless kernel; ALL operands live in HBM (XLA operand staging in
+    VMEM both double-buffers and overlaps calls, blowing the 16MB scoped
+    limit).  Scene + per-packet ray tiles are DMA'd into run_scoped VMEM
+    (scoped allocations are live only inside this kernel, so two kernels
+    in one program don't stack)."""
 
-    ins = (ox, oy, oz, dx, dy, dz, tmax_hbm)
+    def body(nodes_ref, bounds_ref, tris_ref, rays_vm, res_vm, res_i_vm,
+             stack, sems):
+        cp_n = pltpu.make_async_copy(nodes_hbm, nodes_ref, sems.at[0])
+        cp_b = pltpu.make_async_copy(bounds_hbm, bounds_ref, sems.at[1])
+        cp_t = pltpu.make_async_copy(tris_hbm, tris_ref, sems.at[2])
+        cp_n.start()
+        cp_b.start()
+        cp_t.start()
+        cp_n.wait()
+        cp_b.wait()
+        cp_t.wait()
 
-    def packet_body(pk, _):
-        # DMA the packet's ray tiles in
-        for j in range(7):
-            pltpu.make_async_copy(ins[j].at[pk], rays_vm.at[j],
-                                  sems.at[3 + j]).start()
-        for j in range(7):
-            pltpu.make_async_copy(ins[j].at[pk], rays_vm.at[j],
-                                  sems.at[3 + j]).wait()
-        o = (rays_vm[0], rays_vm[1], rays_vm[2])
-        d = (rays_vm[3], rays_vm[4], rays_vm[5])
-        t, prim, b1, b2 = _traverse_packet(
-            nodes_ref, bounds_ref, tris_ref, o, d, rays_vm[6], stack,
-            any_hit=any_hit)
-        res_vm[0] = t
-        res_vm[1] = b1
-        res_vm[2] = b2
-        res_i_vm[0] = prim
-        pltpu.make_async_copy(res_vm.at[0], t_out.at[pk], sems.at[10]).start()
-        pltpu.make_async_copy(res_vm.at[1], b1_out.at[pk], sems.at[11]).start()
-        pltpu.make_async_copy(res_vm.at[2], b2_out.at[pk], sems.at[12]).start()
-        pltpu.make_async_copy(res_i_vm.at[0], prim_out.at[pk],
-                              sems.at[13]).start()
-        pltpu.make_async_copy(res_vm.at[0], t_out.at[pk], sems.at[10]).wait()
-        pltpu.make_async_copy(res_vm.at[1], b1_out.at[pk], sems.at[11]).wait()
-        pltpu.make_async_copy(res_vm.at[2], b2_out.at[pk], sems.at[12]).wait()
-        pltpu.make_async_copy(res_i_vm.at[0], prim_out.at[pk],
-                              sems.at[13]).wait()
-        return 0
+        ins = (ox, oy, oz, dx, dy, dz, tmax_hbm)
 
-    jax.lax.fori_loop(0, n_pack, packet_body, 0)
+        def packet_body(pk, _):
+            for j in range(7):
+                pltpu.make_async_copy(ins[j].at[pk], rays_vm.at[j],
+                                      sems.at[3 + j]).start()
+            for j in range(7):
+                pltpu.make_async_copy(ins[j].at[pk], rays_vm.at[j],
+                                      sems.at[3 + j]).wait()
+            o = (rays_vm[0], rays_vm[1], rays_vm[2])
+            d = (rays_vm[3], rays_vm[4], rays_vm[5])
+            t, prim, b1, b2 = _traverse_packet(
+                nodes_ref, bounds_ref, tris_ref, o, d, rays_vm[6], stack,
+                any_hit=any_hit)
+            res_vm[0] = t
+            res_vm[1] = b1
+            res_vm[2] = b2
+            res_i_vm[0] = prim
+            cps = [
+                pltpu.make_async_copy(res_vm.at[0], t_out.at[pk],
+                                      sems.at[10]),
+                pltpu.make_async_copy(res_vm.at[1], b1_out.at[pk],
+                                      sems.at[11]),
+                pltpu.make_async_copy(res_vm.at[2], b2_out.at[pk],
+                                      sems.at[12]),
+                pltpu.make_async_copy(res_i_vm.at[0], prim_out.at[pk],
+                                      sems.at[13]),
+            ]
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_pack, packet_body, 0)
+
+    M = nodes_hbm.shape[1]
+    T = tris_hbm.shape[1]
+    pl.run_scoped(
+        body,
+        pltpu.VMEM((8, M), jnp.int32),
+        pltpu.VMEM((8, M), jnp.float32),
+        pltpu.VMEM((12, T), jnp.float32),
+        pltpu.VMEM((7, SUB, LANE), jnp.float32),
+        pltpu.VMEM((3, SUB, LANE), jnp.float32),
+        pltpu.VMEM((1, SUB, LANE), jnp.int32),
+        pltpu.SMEM((STACK,), jnp.int32),
+        pltpu.SemaphoreType.DMA((14,)),
+    )
 
 
 def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
@@ -248,7 +267,7 @@ def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
     dz = shape2(d[:, 2], 0.0)
     tm = shape2(t_max, -1.0)  # padded rays: tmax<0 -> no hits
 
-    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     kernel = functools.partial(_traverse_kernel, any_hit=any_hit,
                                n_pack=n_pack)
 
@@ -266,18 +285,8 @@ def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
         in_specs=[hbm_spec] * 10,
         out_specs=[hbm_spec] * 4,
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.SMEM((STACK,), jnp.int32),
-            pltpu.VMEM((M, 8), jnp.int32),
-            pltpu.VMEM((M, 8), jnp.float32),
-            pltpu.VMEM((T, 12), jnp.float32),
-            pltpu.VMEM((7, SUB, LANE), jnp.float32),
-            pltpu.VMEM((3, SUB, LANE), jnp.float32),
-            pltpu.VMEM((1, SUB, LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((14,)),
-        ],
         interpret=interpret,
-    )(scene.nodes_packed, scene.nodes_bounds, scene.tris_packed,
+    )(scene.nodes_t, scene.bounds_t, scene.tris_t,
       ox, oy, oz, dx, dy, dz, tm)
 
     t = t.reshape(-1)[:N]

@@ -41,6 +41,11 @@ class DeviceScene(NamedTuple):
     nodes_packed: jnp.ndarray  # (M,8) i32: bits(min3), bits(max3), right, count<<2|axis
     nodes_bounds: jnp.ndarray  # (M,8) f32: min3, max3, pad2 (pallas scalar reads)
     tris_packed: jnp.ndarray   # (T,12) f32: p0, e1, e2, pad
+    # transposed lane-major copies for the Pallas kernel: (8, M) tiles
+    # without lane padding ((M, 8) in VMEM would pad 8 -> 128 lanes, 16x)
+    nodes_t: jnp.ndarray       # (8, Mp) i32
+    bounds_t: jnp.ndarray      # (8, Mp) f32
+    tris_t: jnp.ndarray        # (12, Tp) f32
     # --- analytic spheres (emitters) ---
     sph_center: jnp.ndarray  # (S,3)
     sph_radius: jnp.ndarray  # (S,)
@@ -342,11 +347,19 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     nodes_bounds = np.zeros((M_nodes, 8), np.float32)
     nodes_bounds[:, 0:3] = flat.node_min
     nodes_bounds[:, 3:6] = flat.node_max
+    Mp = ((M_nodes + 127) // 128) * 128
+    nodes_t = np.zeros((8, Mp), np.int32)
+    nodes_t[:, :M_nodes] = nodes_packed.T
+    bounds_t = np.zeros((8, Mp), np.float32)
+    bounds_t[:, :M_nodes] = nodes_bounds.T
     T_tris = p.shape[0]
     tris_packed = np.zeros((T_tris, 12), np.float32)
     tris_packed[:, 0:3] = p[:, 0]
     tris_packed[:, 3:6] = e1
     tris_packed[:, 6:9] = e2
+    Tp = ((T_tris + 127) // 128) * 128
+    tris_t = np.zeros((12, Tp), np.float32)
+    tris_t[:, :T_tris] = tris_packed.T
 
     return DeviceScene(
         tri_p0=f32(p[:, 0]), tri_e1=f32(e1), tri_e2=f32(e2),
@@ -357,6 +370,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         node_axis=i32(flat.node_axis),
         nodes_packed=i32(nodes_packed), nodes_bounds=f32(nodes_bounds),
         tris_packed=f32(tris_packed),
+        nodes_t=i32(nodes_t), bounds_t=f32(bounds_t), tris_t=f32(tris_t),
         sph_center=f32(sph_center), sph_radius=f32(sph_radius),
         sph_mat=i32(sph_mat), sph_light=i32(sph_light),
         n_spheres=i32(len(sd.spheres)),
