@@ -162,7 +162,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool):
 
         sg = (jax.lax.stop_gradient if cfg.differentiable
               else (lambda x: x))
-        t_max = jnp.full(N, 1e30, jnp.float32)
+        # dead rays get t_max < 0: every box/triangle test fails, so they
+        # cost nothing inside the traversal kernels
+        t_max = jnp.where(alive, 1e30, -1.0)
         o, d = sg(o), sg(d)  # path geometry frozen in differentiable mode
         hit = isect.intersect(scene, o, d, t_max, use_pallas=cfg.use_pallas)
         hit = jax.tree.map(sg, hit)
@@ -297,7 +299,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool):
                              vm.offset_ray_origin(it.p, ng_f, ls.wi)) \
                 if cfg.volumetric else \
                 vm.offset_ray_origin(it.p, ng_f, ls.wi)
-            occ = isect.occluded(scene, o_sh, ls.wi, ls.dist * 0.999,
+            # only candidate rays pay for the shadow traversal
+            sh_tmax = jnp.where(can_nee, ls.dist * 0.999, -1.0)
+            occ = isect.occluded(scene, o_sh, ls.wi, sh_tmax,
                                  use_pallas=cfg.use_pallas)
             vis = can_nee & (~occ)
             w_l = jnp.where(ls.is_delta, 1.0,

@@ -53,11 +53,22 @@ def _traverse_packet(nodes_ref, bounds_ref, tris_ref, o, d, t0, stack,
         node, sp, t, prim, b1, b2 = carry
         return node >= 0
 
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+
+    def _col(ref, idx, rows):
+        """Fetch column idx of a lane-major (rows, Mp) VMEM ref: load the
+        aligned 128-lane block and mask-reduce (dynamic lane indexing
+        must be 128-aligned on TPU).  Returns (rows, 1)."""
+        base = pl.multiple_of((idx // LANE) * LANE, LANE)
+        blk = ref[:, pl.ds(base, LANE)]           # (rows, 128)
+        m = lane_iota == (idx - base)
+        return jnp.sum(jnp.where(m, blk, 0), axis=1, keepdims=True)
+
     def body(carry):
         node, sp, t, prim, b1, b2 = carry
-        ndr = nodes_ref[:, pl.ds(node, 1)]        # (8, 1) i32 column
-        ndb = bounds_ref[:, pl.ds(node, 1)]       # (8, 1) f32 column
-        ndf = lambda k: ndb[k, 0]
+        ndb = _col(bounds_ref, node, 8)           # (8, 1) f32
+        ndr = _col(nodes_ref, node, 8)            # (8, 1) i32
+        ndf = lambda k: ndb[k:k + 1, :]           # (1, 1) broadcastable
         nmin = (ndf(0), ndf(1), ndf(2))
         nmax = (ndf(3), ndf(4), ndf(5))
         nright = ndr[6, 0]
@@ -82,8 +93,8 @@ def _traverse_packet(nodes_ref, bounds_ref, tris_ref, o, d, t0, stack,
         # ---- leaf: up to 4 triangles, scalar rows broadcast ----
         def leaf_tri(k, st):
             t, prim, b1, b2 = st
-            trr = tris_ref[:, pl.ds(nright + k, 1)]  # (12, 1)
-            tr = lambda j: trr[j, 0]
+            trr = _col(tris_ref, nright + k, 12)     # (12, 1)
+            tr = lambda j: trr[j:j + 1, :]           # (1, 1)
             p0 = (tr(0), tr(1), tr(2))
             e1 = (tr(3), tr(4), tr(5))
             e2 = (tr(6), tr(7), tr(8))
