@@ -42,6 +42,8 @@ class PathConfig(NamedTuple):
     use_pallas: bool = False
     staged: bool = False              # host-side bounce loop (one jitted
                                       # step per bounce) instead of scan
+    sort_rays: bool = False           # octant+Morton coherence sort before
+                                      # traversal (pallas packets)
     volumetric: bool = False          # homogeneous media transport
                                       # (ref: src/integrators/volpath.cpp +
                                       #  media/homogeneous.cpp)
@@ -166,7 +168,8 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool):
         # cost nothing inside the traversal kernels
         t_max = jnp.where(alive, 1e30, -1.0)
         o, d = sg(o), sg(d)  # path geometry frozen in differentiable mode
-        hit = isect.intersect(scene, o, d, t_max, use_pallas=cfg.use_pallas)
+        hit = isect.intersect(scene, o, d, t_max, use_pallas=cfg.use_pallas,
+                              sort=cfg.sort_rays)
         hit = jax.tree.map(sg, hit)
         it = isect.make_interaction(scene, o, d, hit)
         it = jax.tree.map(sg, it)

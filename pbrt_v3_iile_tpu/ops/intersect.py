@@ -186,13 +186,43 @@ def intersect_spheres(scene, o, d, hit: Hit) -> Hit:
     )
 
 
+def _coherence_key(scene, o, d):
+    """Sort key for packet coherence: direction octant (3 bits) then a
+    quantized-origin Morton code (15 bits).  Incoherent bounce waves
+    sorted by this key traverse far smaller per-packet node sets."""
+    ext = jnp.maximum(scene.world_max - scene.world_min, 1e-6)
+    q = jnp.clip(((o - scene.world_min) / ext) * 31.0, 0.0, 31.0
+                 ).astype(jnp.int32)
+
+    def _spread(x):  # 5 bits -> every 3rd bit
+        x = (x | (x << 8)) & 0x100F
+        x = (x | (x << 4)) & 0x10C3
+        x = (x | (x << 2)) & 0x1249
+        return x
+
+    morton = (_spread(q[:, 0]) | (_spread(q[:, 1]) << 1)
+              | (_spread(q[:, 2]) << 2))
+    octant = ((d[:, 0] < 0).astype(jnp.int32)
+              + 2 * (d[:, 1] < 0).astype(jnp.int32)
+              + 4 * (d[:, 2] < 0).astype(jnp.int32))
+    return (octant << 15) | morton
+
+
 def intersect(scene, o, d, t_max, any_hit: bool = False,
-              use_pallas: bool = False) -> Hit:
+              use_pallas: bool = False, sort: bool = False) -> Hit:
     """Full scene intersection: BVH triangles + analytic spheres."""
     if use_pallas:
         from . import intersect_pallas
-        hit = intersect_pallas.intersect_bvh_pallas(scene, o, d, t_max,
-                                                    any_hit=any_hit)
+        if sort:
+            perm = jnp.argsort(_coherence_key(scene, o, d))
+            hit_s = intersect_pallas.intersect_bvh_pallas(
+                scene, jnp.take(o, perm, axis=0), jnp.take(d, perm, axis=0),
+                jnp.take(t_max, perm), any_hit=any_hit)
+            inv = jnp.argsort(perm)
+            hit = Hit(*(jnp.take(f, inv, axis=0) for f in hit_s))
+        else:
+            hit = intersect_pallas.intersect_bvh_pallas(scene, o, d, t_max,
+                                                        any_hit=any_hit)
     else:
         hit = intersect_bvh(scene, o, d, t_max, any_hit=any_hit)
     if not any_hit:
@@ -202,10 +232,11 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
     return hit2
 
 
-def occluded(scene, o, d, t_max, use_pallas: bool = False) -> jnp.ndarray:
+def occluded(scene, o, d, t_max, use_pallas: bool = False,
+             sort: bool = False) -> jnp.ndarray:
     """Shadow-ray IntersectP equivalent (ref: scene.cpp:56)."""
     return intersect(scene, o, d, t_max, any_hit=True,
-                     use_pallas=use_pallas).valid
+                     use_pallas=use_pallas, sort=sort).valid
 
 
 class Interaction(NamedTuple):
