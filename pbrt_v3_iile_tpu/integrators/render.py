@@ -23,7 +23,11 @@ from ..scene import device as devlib
 from . import path as pathlib_
 
 
-def make_integrator_config(sd: apilib.SceneDesc, use_pallas=False):
+def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
+    if use_pallas is None:
+        # the packet kernel is the TPU fast path; XLA traversal on CPU
+        import jax
+        use_pallas = jax.default_backend() not in ("cpu",)
     kind = sd.integrator.kind
     has_media = len(getattr(sd, "media", [])) > 0
     if kind in ("path", "volpath", "bdpt", "mlt", "sppm", "iispt"):
@@ -33,7 +37,7 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=False):
             max_depth=sd.integrator.max_depth,
             rr_threshold=sd.integrator.rr_threshold,
             volumetric=(kind == "volpath" or has_media),
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, staged=use_pallas,
         )
     if kind == "directlighting":
         return pathlib_.PathConfig(
@@ -41,16 +45,16 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=False):
             nee=True,
             nee_all=(sd.integrator.dl_strategy == "all"),
             direct_only=True,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, staged=use_pallas,
         )
     if kind == "whitted":
         return pathlib_.PathConfig(
             max_depth=sd.integrator.max_depth,
             nee=True, nee_all=True, direct_only=True,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, staged=use_pallas,
         )
     return pathlib_.PathConfig(max_depth=sd.integrator.max_depth,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas, staged=use_pallas)
 
 
 def build(sd: apilib.SceneDesc, use_native_bvh: bool = True):
@@ -144,8 +148,9 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
         chunk_rows = max(1, max_wave // W)
         while H % chunk_rows:
             chunk_rows -= 1
-    run = jax.jit(render_pass_fn(sd, cfg, chunk_rows=chunk_rows),
-                  static_argnums=(4,))
+    run_fn = render_pass_fn(sd, cfg, chunk_rows=chunk_rows)
+    # staged mode drives its own jitted bounce steps — no outer jit
+    run = run_fn if cfg.staged else jax.jit(run_fn, static_argnums=(4,))
     key = jax.random.PRNGKey(seed)
 
     film = filmlib.new_film(H, W)
