@@ -79,7 +79,8 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
     cam_kind = camlib.KIND.get(sd.camera.kind, 0)
     CH = chunk_rows if chunk_rows > 0 else H
 
-    def run(scene, cam, key, pass_idx, row0=0):
+    @jax.jit
+    def prep(cam, key, pass_idx, row0):
         px = jnp.arange(W, dtype=jnp.float32)
         py = row0 + jnp.arange(CH, dtype=jnp.float32)
         gx, gy = jnp.meshgrid(px, py)          # (CH,W)
@@ -97,6 +98,11 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
             kl = smplr.wave_key(k, 0, 0, smplr.DIM_LENS)
             u_lens = smplr.uniform(kl, (CH * W, 2))
         o, d = camlib.generate_rays(cam, p_film, u_lens, kind=cam_kind)
+        return o, d, jitter, k
+
+    def run(scene, cam, key, pass_idx, row0=0):
+        o, d, jitter, k = prep(cam, key, jnp.int32(pass_idx),
+                               jnp.int32(row0))
         if sd.integrator.kind == "ambientocclusion":
             from . import ao as aolib
             L = aolib.trace_ao(scene, o, d, k,
