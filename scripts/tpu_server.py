@@ -9,12 +9,16 @@ the server.
 Usage: python scripts/tpu_server.py /tmp/tpu_jobs
 """
 
+import faulthandler
 import io
 import os
+import signal
 import sys
 import time
 import traceback
 import contextlib
+
+faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> dumps all stacks
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
