@@ -132,8 +132,8 @@ def load_film_checkpoint(path: str):
 
 
 def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
-           use_pallas: bool = False, use_native_bvh: bool = True,
-           max_wave: int = 1 << 17, checkpoint: str = None,
+           use_pallas: bool = None, use_native_bvh: bool = True,
+           max_wave: int = 1 << 16, checkpoint: str = None,
            checkpoint_every: int = 0, report=None):
     """Full render; returns (image (H,W,3) np.ndarray, stats dict).
 
@@ -174,7 +174,7 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
             raise ValueError("checkpoint was rendered with a different seed")
 
     CH = chunk_rows if chunk_rows else H
-    total_rays = 0
+    ray_acc = jnp.zeros((), jnp.int64) if False else jnp.zeros((), jnp.int32)
     t0 = time.time()
     for p in range(start_pass, spp):
         if chunk_rows:
@@ -183,18 +183,19 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
                 L, jitter, rays = run(scene, cam, key, p, row0)
                 Ls.append(L)
                 Js.append(jitter)
-                total_rays += int(rays)
+                ray_acc = ray_acc + rays
             L = jnp.concatenate(Ls, axis=0)
             jitter = jnp.concatenate(Js, axis=0)
         else:
             L, jitter, rays = run(scene, cam, key, p, 0)
-            total_rays += int(rays)
+            ray_acc = ray_acc + rays
         film = add(film, L, jitter)
         if checkpoint and checkpoint_every and (p + 1) % checkpoint_every == 0:
             save_film_checkpoint(checkpoint, film, p + 1, seed)
         if report is not None:
             report(p + 1, spp, film)
     img = np.asarray(filmlib.resolve(film))
+    total_rays = int(ray_acc)
     dt = time.time() - t0
     return img, dict(seconds=dt, rays=total_rays,
                      mrays_per_s=total_rays / max(dt, 1e-9) / 1e6)

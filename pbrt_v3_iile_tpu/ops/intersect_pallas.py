@@ -33,7 +33,8 @@ PACKET = 1024            # rays per grid program: one (8, 128) tile
 SUB, LANE = 8, 128
 STACK = 96
 VMEM_SCENE_LIMIT = 220_000  # max triangles for VMEM-resident mode
-MAX_PACKETS_PER_CALL = 4096  # rays stream through HBM; no VMEM limit
+MAX_PACKETS_PER_CALL = 64   # bound single-kernel runtime (the remote
+                            # TPU worker is unstable under long kernels)
 
 
 def _traverse_packet(nodes_ref, bounds_ref, tris_ref, o, d, t0, stack,
@@ -250,11 +251,17 @@ def intersect_bvh_pallas(scene, o, d, t_max, any_hit: bool = False,
     max_call = MAX_PACKETS_PER_CALL * PACKET
     if N > max_call:
         hits = []
+        token = o[:1]
         for s0 in range(0, N, max_call):
             s1 = min(s0 + max_call, N)
-            hits.append(intersect_bvh_pallas(
-                scene, o[s0:s1], d[s0:s1], t_max[s0:s1], any_hit=any_hit,
-                interpret=interpret))
+            # optimization_barrier serializes the chunk kernels: two
+            # concurrent kernels would double the scene's VMEM residency
+            oc, dc, tc, _ = jax.lax.optimization_barrier(
+                (o[s0:s1], d[s0:s1], t_max[s0:s1], token))
+            h = intersect_bvh_pallas(scene, oc, dc, tc, any_hit=any_hit,
+                                     interpret=interpret)
+            token = h.t[:1]
+            hits.append(h)
         return Hit(
             t=jnp.concatenate([h.t for h in hits]),
             prim=jnp.concatenate([h.prim for h in hits]),
