@@ -95,172 +95,216 @@ def _pixel_to_dir(x, y, right, up, look, hemi_size):
 # per-task indirect estimation
 # ---------------------------------------------------------------------------
 
-def make_task_fns(sd, hemi_size: int, ts: int, net, use_pallas=False):
-    """Builds the jittable per-task function for tilesize ts (static).
-
-    Returns f(scene, cam, net_vars, key, x0, y0) ->
-      (flat_idx (Npix,), rgb (Npix,3), valid (Npix,))
-    where Npix = (10*ts)^2 local pixels.
-    """
+def _anchor_fns(sd, hemi_size, net):
+    """Cached jitted sub-stages shared by all tasks (shapes vary only in
+    the pixel-chunk dimension, handled by jit's shape cache)."""
     W, H = sd.film.x_resolution, sd.film.y_resolution
-    G = schedlib.NUMBER_TILES + 1
-    S = HEMISPHERIC_IMPORTANCE_SAMPLES
-    task_size = schedlib.NUMBER_TILES * ts
     cam_kind = camlib.KIND.get(sd.camera.kind, 0)
 
-    def run(scene, cam, net_vars, key, x0, y0):
-        # ---- probe anchors: camera rays through probe pixels ----
-        coords = task_probe_coords(x0, y0, ts, W, H)          # (G*G, 2)
+    @jax.jit
+    def probe_rays(cam, key, coords):
         kj = smplr.wave_key(key, 2, 0, smplr.DIM_PIXEL_JITTER)
         jit_p = smplr.uniform(kj, coords.shape)
         p_film = coords.astype(jnp.float32) + jit_p
-        o, d = camlib.generate_rays(cam, p_film, kind=cam_kind)
-        fi = probelib.find_first_nonspecular(scene, o, d, key,
-                                             use_pallas=use_pallas)
-        probe_valid = fi["found"] & (vm.luminance(fi["beta"]) > 0.0)
+        return camlib.generate_rays(cam, p_film, kind=cam_kind)
 
-        # ---- render + predict probe maps ----
-        gb = probelib.render_probes(scene, fi["p"], fi["n"], key,
-                                    hemi_size, use_pallas=use_pallas)
-        x_in, aux = nnx.probe_to_network_input(
-            gb.intensity, gb.normals, gb.distance)
+    @jax.jit
+    def cnn(net_vars, intensity, normals, distance, probe_valid):
+        x_in, aux = nnx.probe_to_network_input(intensity, normals, distance)
         y_out = net.apply(net_vars, x_in, train=False)
-        R = nnx.network_output_to_radiance(y_out, aux)        # (P,Hs,Hs,3)
-        R = jnp.where(probe_valid[:, None, None, None], R, 0.0)
+        R = nnx.network_output_to_radiance(y_out, aux)
+        return jnp.where(probe_valid[:, None, None, None], R, 0.0)
 
-        # ---- film pixels of the task ----
-        ly, lx = jnp.meshgrid(jnp.arange(task_size), jnp.arange(task_size),
-                              indexing="ij")
-        lx = lx.reshape(-1)
-        ly = ly.reshape(-1)
-        fx = x0 + lx
-        fy = y0 + ly
-        x1 = jnp.minimum(x0 + task_size, W)
-        y1 = jnp.minimum(y0 + task_size, H)
-        in_img = (fx < x1) & (fy < y1)
-        Np = task_size * task_size
-
+    @jax.jit
+    def pixel_rays(cam, key, fx, fy):
         kpj = smplr.wave_key(key, 3, 0, smplr.DIM_PIXEL_JITTER)
-        jit_f = smplr.uniform(kpj, (Np, 2))
+        jit_f = smplr.uniform(kpj, (fx.shape[0], 2))
         pf = jnp.stack([fx, fy], axis=-1).astype(jnp.float32) + jit_f
-        fo, fd = camlib.generate_rays(cam, pf, kind=cam_kind)
-        ff = probelib.find_first_nonspecular(scene, fo, fd,
-                                             jax.random.fold_in(key, 7),
-                                             use_pallas=use_pallas)
-        px_valid = in_img & ff["found"] & (vm.luminance(ff["beta"]) > 0.0)
+        return camlib.generate_rays(cam, pf, kind=cam_kind)
 
-        # ---- neighbor probes (S, E, R, B — iisptrenderrunner.cpp:434) ----
+    return dict(probe_rays=probe_rays, cnn=cnn, pixel_rays=pixel_rays)
+
+
+@functools.partial(jax.jit, static_argnames=("hemi_size",))
+def _mis_stage(scene, cam, R, probe_valid, cam_look, cam_orig, right, up,
+               look, coords_f, n_ids, fx, fy, in_img, ff_found, ff_beta,
+               ff_p, ff_n, ff_wo, ff_mat, ff_uv, key, ts, hemi_size):
+    """Per-pixel-chunk hemisphere MIS estimation (the vectorized
+    sample_hemisphere/estimate_direct, ref iisptrenderrunner.cpp:16-178).
+    All probe data comes in as arrays; ts is traced (no recompile per
+    radius)."""
+    Np = fx.shape[0]
+    S = HEMISPHERIC_IMPORTANCE_SAMPLES
+    px_valid = in_img & ff_found & (vm.luminance(ff_beta) > 0.0)
+
+    n_px = coords_f[n_ids]                        # (Np, 4, 2)
+    cam_valid_n = probe_valid[n_ids]              # (Np, 4)
+    cam_look_n = cam_look[n_ids]                  # (Np, 4, 3)
+    cam_orig_n = cam_orig[n_ids]                  # (Np, 4, 3)
+
+    # ---- weights (ref: compute_fpixel_weights :961-1037) ----
+    fpix = jnp.stack([fx, fy], axis=-1).astype(jnp.float32)[:, None, :]
+    pdist = jnp.sqrt(jnp.sum((fpix - n_px) ** 2, axis=-1))
+    wdpos = jnp.clip(pdist / ts.astype(jnp.float32), 0.0, 1.0)
+    ndot = jnp.sum(ff_n[:, None, :] * cam_look_n, axis=-1)
+    wdnor = jnp.where(cam_valid_n,
+                      jnp.where(ndot < 0.0, 1.0, 1.0 - ndot), 0.0)
+    cam_o = camlib.camera_position(cam)
+    d_isect = jnp.sqrt(jnp.sum((ff_p - cam_o) ** 2, axis=-1))
+    d_probe = jnp.sqrt(jnp.sum((cam_orig_n - cam_o) ** 2, axis=-1))
+    rel_err = jnp.abs(d_isect[:, None] - d_probe) / jnp.maximum(
+        d_isect[:, None], 1e-10)
+    wdd = jnp.where(cam_valid_n & (d_isect[:, None] >= 1e-10),
+                    jnp.clip(1.0 - rel_err, 0.0, 1.0), 0.0)
+    wod = wdpos * wdnor + wdpos * wdd + wdpos
+    w_raw = jnp.maximum(0.0, 2.0 - wod) + 0.001
+    w_prob = w_raw / jnp.maximum(jnp.sum(w_raw, axis=-1, keepdims=True),
+                                 1e-12)
+
+    # ---- shading data ----
+    params = bsdflib.gather_params(scene, jnp.maximum(ff_mat, 0),
+                                   uv=ff_uv, p=ff_p)
+    ns = ff_n
+    t_f, b_f = vm.coordinate_system(ns)
+    wo_l = vm.to_local(ff_wo, t_f, b_f, ns)
+
+    # ---- MIS sampling slots (Np, 4, S) ----
+    ku = smplr.wave_key(key, 4, 0, smplr.DIM_HEMI)
+    u_sel = smplr.uniform(ku, (Np, 4, S))
+    selected = u_sel < w_prob[:, :, None]
+    kxy = smplr.wave_key(key, 4, 1, smplr.DIM_HEMI)
+    u_xy = smplr.uniform(kxy, (Np, 4, S, 2))
+    rx = jnp.minimum((u_xy[..., 0] * hemi_size).astype(jnp.int32),
+                     hemi_size - 1)
+    ry = jnp.minimum((u_xy[..., 1] * hemi_size).astype(jnp.int32),
+                     hemi_size - 1)
+    kbs = smplr.wave_key(key, 4, 2, smplr.DIM_BSDF_DIR)
+    u_bs = smplr.uniform(kbs, (Np, 4, S, 2))
+    kbl = smplr.wave_key(key, 4, 3, smplr.DIM_BSDF_LOBE)
+    u_bl = smplr.uniform(kbl, (Np, 4, S))
+
+    probe_ids = jnp.broadcast_to(n_ids[:, :, None], (Np, 4, S))
+    pr = right[probe_ids]
+    pu = up[probe_ids]
+    pl = look[probe_ids]
+
+    # --- strategy 1: hemisphere-map sampling ---
+    Li1 = _map_lookup_jacobian(R, probe_ids, rx, ry, hemi_size)
+    wi1_w = _pixel_to_dir(rx, ry, pr, pu, pl, hemi_size)
+    wi1_l = vm.to_local(wi1_w,
+                        t_f[:, None, None, :], b_f[:, None, None, :],
+                        ns[:, None, None, :])
+    params_b = jax.tree.map(
+        lambda a: a[:, None, None] if a.ndim == 1 else a[:, None, None, :],
+        params)
+    f1, pdf1 = bsdflib.evaluate(params_b,
+                                jnp.broadcast_to(wo_l[:, None, None, :],
+                                                 wi1_l.shape), wi1_l)
+    cos1 = jnp.abs(wi1_l[..., 2])
+    w1 = smp.power_heuristic(1.0, LIGHT_PDF, 1.0, pdf1)
+    c1 = EM_RATIO * f1 * Li1 * (cos1 * w1 / LIGHT_PDF)[..., None]
+    c1 = jnp.where((vm.luminance(Li1) > 0.0)[..., None], c1, 0.0)
+
+    # --- strategy 2: bsdf sampling + map lookup ---
+    bs = bsdflib.sample(params_b,
+                        jnp.broadcast_to(wo_l[:, None, None, :],
+                                         wi1_l.shape),
+                        u_bl, u_bs)
+    wi2_w = vm.to_world(bs.wi, t_f[:, None, None, :],
+                        b_f[:, None, None, :], ns[:, None, None, :])
+    x2, y2, ok2 = camlib.hemi_dir_to_pixel(wi2_w, pr, pu, pl, hemi_size)
+    Li2 = _map_lookup_jacobian(R, probe_ids, jnp.clip(x2, 0, hemi_size - 1),
+                               jnp.clip(y2, 0, hemi_size - 1), hemi_size)
+    Li2 = jnp.where(ok2[..., None], Li2, 0.0)
+    cos2 = jnp.abs(bs.wi[..., 2])
+    w2 = jnp.where(bs.is_specular, 1.0,
+                   smp.power_heuristic(1.0, bs.pdf, 1.0, LIGHT_PDF))
+    c2 = BSDF_RATIO * bs.f * Li2 * (cos2 * w2 / jnp.maximum(
+        bs.pdf, 1e-12))[..., None]
+    c2 = jnp.where((bs.valid & (vm.luminance(Li2) > 0.0))[..., None],
+                   c2, 0.0)
+
+    contrib = jnp.where(selected[..., None], c1 + c2, 0.0)
+    taken = jnp.sum(selected, axis=(1, 2))
+    Lh = jnp.sum(contrib, axis=(1, 2)) / jnp.maximum(
+        taken, 1)[:, None].astype(jnp.float32)
+    Lh = jnp.where((taken > 0)[:, None], Lh, 0.0)
+
+    rgb = ff_beta * Lh
+    rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)
+    return jnp.where(px_valid[:, None], rgb, 0.0), px_valid
+
+
+PIXEL_CHUNK = 16384
+
+
+def run_task(scene, cam, sd, net, net_vars, fns, key, task,
+             hemi_size: int = 32, use_pallas: bool = False,
+             staged: bool = False):
+    """Execute one schedule task: probes -> CNN -> per-pixel MIS.
+    Host-driven stages (small device programs); returns
+    (flat_idx (Np,), rgb (Np,3), valid (Np,)) as device arrays."""
+    W, H = sd.film.x_resolution, sd.film.y_resolution
+    G = schedlib.NUMBER_TILES + 1
+    ts = task.tilesize
+    task_size = schedlib.NUMBER_TILES * ts
+
+    # ---- probe anchors ----
+    coords = task_probe_coords(jnp.int32(task.x0), jnp.int32(task.y0),
+                               ts, W, H)
+    o, d = fns["probe_rays"](cam, key, coords)
+    fi = probelib.find_first_nonspecular(scene, o, d, key,
+                                         use_pallas=use_pallas,
+                                         staged=staged)
+    probe_valid = fi["found"] & (vm.luminance(fi["beta"]) > 0.0)
+
+    # ---- probe render + CNN ----
+    gb = probelib.render_probes(scene, fi["p"], fi["n"], key,
+                                hemi_size, use_pallas=use_pallas,
+                                staged=staged)
+    R = fns["cnn"](net_vars, gb.intensity, gb.normals, gb.distance,
+                   probe_valid)
+
+    # ---- pixels, chunked ----
+    coords_f = coords.astype(jnp.float32)
+    x1 = min(task.x0 + task_size, W)
+    y1 = min(task.y0 + task_size, H)
+    idx_all, rgb_all, val_all = [], [], []
+    npix = task_size * task_size
+    for c0 in range(0, npix, PIXEL_CHUNK):
+        c1 = min(c0 + PIXEL_CHUNK, npix)
+        n_chunk = c1 - c0
+        li = jnp.arange(c0, c1)
+        lx = li % task_size
+        ly = li // task_size
+        fx = task.x0 + lx
+        fy = task.y0 + ly
+        in_img = (fx < x1) & (fy < y1)
+        fo, fd = fns["pixel_rays"](cam, jax.random.fold_in(key, 7 + c0),
+                                   fx, fy)
+        ff = probelib.find_first_nonspecular(
+            scene, fo, fd, jax.random.fold_in(key, 8 + c0),
+            use_pallas=use_pallas, staged=staged)
         gi = jnp.clip(lx // ts, 0, G - 2)
         gj = jnp.clip(ly // ts, 0, G - 2)
         n_ids = jnp.stack([
-            gj * G + gi,            # S (top-left)
-            (gj + 1) * G + gi + 1,  # E (bottom-right)
-            gj * G + gi + 1,        # R (top-right)
-            (gj + 1) * G + gi,      # B (bottom-left)
-        ], axis=-1)                 # (Np, 4)
-        coords_f = coords.astype(jnp.float32)
-        n_px = coords_f[n_ids]                        # (Np, 4, 2)
-        cam_valid = probe_valid[n_ids]                # (Np, 4)
-        cam_look = gb.look[n_ids]                     # (Np, 4, 3)
-        cam_orig = gb.origin[n_ids]                   # (Np, 4, 3)
-
-        # ---- weights (ref: compute_fpixel_weights :961-1037) ----
-        fpix = jnp.stack([fx, fy], axis=-1).astype(jnp.float32)[:, None, :]
-        pdist = jnp.sqrt(jnp.sum((fpix - n_px) ** 2, axis=-1))
-        wdpos = jnp.clip(pdist / ts, 0.0, 1.0)
-        # normals: 1 - max(dot, 0); invalid camera -> 1
-        ndot = jnp.sum(ff["n"][:, None, :] * cam_look, axis=-1)
-        wdnor = jnp.where(cam_valid,
-                          jnp.where(ndot < 0.0, 1.0, 1.0 - ndot), 0.0)
-        # camera-relative distance (ref: iisptmathutils.h:113-137)
-        cam_o = camlib.camera_position(cam)
-        d_isect = jnp.sqrt(jnp.sum((ff["p"] - cam_o) ** 2, axis=-1))
-        d_probe = jnp.sqrt(jnp.sum((cam_orig - cam_o) ** 2, axis=-1))
-        rel_err = jnp.abs(d_isect[:, None] - d_probe) / jnp.maximum(
-            d_isect[:, None], 1e-10)
-        wdd = jnp.where(cam_valid & (d_isect[:, None] >= 1e-10),
-                        jnp.clip(1.0 - rel_err, 0.0, 1.0), 0.0)
-        wod = wdpos * wdnor + wdpos * wdd + wdpos
-        w_raw = jnp.maximum(0.0, 2.0 - wod) + 0.001
-        w_prob = w_raw / jnp.maximum(jnp.sum(w_raw, axis=-1, keepdims=True),
-                                     1e-12)                   # (Np, 4)
-
-        # ---- per-pixel shading data ----
-        params = bsdflib.gather_params(scene, jnp.maximum(ff["mat"], 0),
-                                       uv=ff["uv"], p=ff["p"])
-        ns = ff["n"]
-        t_f, b_f = vm.coordinate_system(ns)
-        wo_l = vm.to_local(ff["wo"], t_f, b_f, ns)
-
-        # ---- MIS sampling slots (Np, 4, S) ----
-        ku = smplr.wave_key(key, 4, 0, smplr.DIM_HEMI)
-        u_sel = smplr.uniform(ku, (Np, 4, S))
-        selected = u_sel < w_prob[:, :, None]
-        kxy = smplr.wave_key(key, 4, 1, smplr.DIM_HEMI)
-        u_xy = smplr.uniform(kxy, (Np, 4, S, 2))
-        rx = jnp.minimum((u_xy[..., 0] * hemi_size).astype(jnp.int32),
-                         hemi_size - 1)
-        ry = jnp.minimum((u_xy[..., 1] * hemi_size).astype(jnp.int32),
-                         hemi_size - 1)
-        kbs = smplr.wave_key(key, 4, 2, smplr.DIM_BSDF_DIR)
-        u_bs = smplr.uniform(kbs, (Np, 4, S, 2))
-        kbl = smplr.wave_key(key, 4, 3, smplr.DIM_BSDF_LOBE)
-        u_bl = smplr.uniform(kbl, (Np, 4, S))
-
-        probe_ids = jnp.broadcast_to(n_ids[:, :, None], (Np, 4, S))
-        pr = gb.right[probe_ids]      # (Np,4,S,3)
-        pu = gb.up[probe_ids]
-        pl = gb.look[probe_ids]
-
-        # --- strategy 1: hemisphere-map sampling ---
-        Li1 = _map_lookup_jacobian(R, probe_ids, rx, ry, hemi_size)
-        wi1_w = _pixel_to_dir(rx, ry, pr, pu, pl, hemi_size)
-        wi1_l = vm.to_local(wi1_w,
-                            t_f[:, None, None, :], b_f[:, None, None, :],
-                            ns[:, None, None, :])
-        # broadcast bsdf params over slots via tree-map
-        params_b = jax.tree.map(
-            lambda a: a[:, None, None] if a.ndim == 1 else a[:, None, None, :],
-            params)
-        f1, pdf1 = bsdflib.evaluate(params_b,
-                                    jnp.broadcast_to(wo_l[:, None, None, :],
-                                                     wi1_l.shape), wi1_l)
-        cos1 = jnp.abs(wi1_l[..., 2])
-        w1 = smp.power_heuristic(1.0, LIGHT_PDF, 1.0, pdf1)
-        c1 = EM_RATIO * f1 * Li1 * (cos1 * w1 / LIGHT_PDF)[..., None]
-        c1 = jnp.where((vm.luminance(Li1) > 0.0)[..., None], c1, 0.0)
-
-        # --- strategy 2: bsdf sampling + map lookup ---
-        bs = bsdflib.sample(params_b,
-                            jnp.broadcast_to(wo_l[:, None, None, :],
-                                             wi1_l.shape),
-                            u_bl, u_bs)
-        wi2_w = vm.to_world(bs.wi, t_f[:, None, None, :],
-                            b_f[:, None, None, :], ns[:, None, None, :])
-        x2, y2, ok2 = camlib.hemi_dir_to_pixel(wi2_w, pr, pu, pl, hemi_size)
-        Li2 = _map_lookup_jacobian(R, probe_ids, jnp.clip(x2, 0, hemi_size - 1),
-                                   jnp.clip(y2, 0, hemi_size - 1), hemi_size)
-        Li2 = jnp.where(ok2[..., None], Li2, 0.0)
-        cos2 = jnp.abs(bs.wi[..., 2])
-        w2 = jnp.where(bs.is_specular, 1.0,
-                       smp.power_heuristic(1.0, bs.pdf, 1.0, LIGHT_PDF))
-        c2 = BSDF_RATIO * bs.f * Li2 * (cos2 * w2 / jnp.maximum(
-            bs.pdf, 1e-12))[..., None]
-        c2 = jnp.where((bs.valid & (vm.luminance(Li2) > 0.0))[..., None],
-                       c2, 0.0)
-
-        contrib = jnp.where(selected[..., None], c1 + c2, 0.0)
-        taken = jnp.sum(selected, axis=(1, 2))                # (Np,)
-        Lh = jnp.sum(contrib, axis=(1, 2)) / jnp.maximum(
-            taken, 1)[:, None].astype(jnp.float32)
-        Lh = jnp.where((taken > 0)[:, None], Lh, 0.0)
-
-        rgb = ff["beta"] * Lh
-        rgb = jnp.where(jnp.isfinite(rgb), rgb, 0.0)
-        flat_idx = jnp.where(in_img, fy * W + fx, W * H)      # dump slot
-        return flat_idx, jnp.where(px_valid[:, None], rgb, 0.0), px_valid
-
-    return run
+            gj * G + gi,            # S (ref ordering, iisptrenderrunner:434)
+            (gj + 1) * G + gi + 1,  # E
+            gj * G + gi + 1,        # R
+            (gj + 1) * G + gi,      # B
+        ], axis=-1)
+        rgb, valid = _mis_stage(
+            scene, cam, R, probe_valid, gb.look, gb.origin, gb.right,
+            gb.up, gb.look, coords_f, n_ids, fx, fy, in_img,
+            ff["found"], ff["beta"], ff["p"], ff["n"], ff["wo"],
+            ff["mat"], ff["uv"], jax.random.fold_in(key, 9 + c0),
+            jnp.int32(ts), hemi_size)
+        flat_idx = jnp.where(in_img, fy * W + fx, W * H)
+        idx_all.append(flat_idx)
+        rgb_all.append(rgb)
+        val_all.append(valid)
+    return (jnp.concatenate(idx_all), jnp.concatenate(rgb_all),
+            jnp.concatenate(val_all))
 
 
 # ---------------------------------------------------------------------------
@@ -269,9 +313,11 @@ def make_task_fns(sd, hemi_size: int, ts: int, net, use_pallas=False):
 
 def render_iile(sd, net_vars=None, seed: int = 0,
                 indirect_tasks: int = 16, direct_samples: int = 16,
-                hemi_size: int = 32, use_pallas: bool = False,
+                hemi_size: int = 32, use_pallas: bool = None,
                 use_native_bvh: bool = True,
                 radius_start: float = 100.0, report=None):
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
     """Full IILE render (ref: iispt.cpp render_normal_2).
 
     Returns (combined, direct, indirect) images (H,W,3) numpy + stats.
@@ -290,21 +336,18 @@ def render_iile(sd, net_vars=None, seed: int = 0,
                             train=False)
 
     t0 = time.time()
+    staged = bool(use_pallas)
     # ---------- indirect ----------
     tasks = schedlib.compute_schedule(W, H, indirect_tasks,
                                       radius_start=radius_start)
     ind_rgb = jnp.zeros((W * H + 1, 3), jnp.float32)
     ind_cnt = jnp.zeros((W * H + 1,), jnp.float32)
-    task_fns = {}
+    fns = _anchor_fns(sd, hemi_size, net)
     for task in tasks:
-        ts = task.tilesize
-        if ts not in task_fns:
-            task_fns[ts] = jax.jit(make_task_fns(sd, hemi_size, ts, net,
-                                                 use_pallas=use_pallas))
-        fn = task_fns[ts]
         tkey = jax.random.fold_in(key, 1000 + task.task_number)
-        idx, rgb, valid = fn(scene, cam, net_vars, tkey,
-                             jnp.int32(task.x0), jnp.int32(task.y0))
+        idx, rgb, valid = run_task(scene, cam, sd, net, net_vars, fns,
+                                   tkey, task, hemi_size=hemi_size,
+                                   use_pallas=use_pallas, staged=staged)
         ind_rgb = ind_rgb.at[idx].add(rgb)
         ind_cnt = ind_cnt.at[idx].add(valid.astype(jnp.float32))
         if report is not None:
@@ -313,13 +356,14 @@ def render_iile(sd, net_vars=None, seed: int = 0,
     # ---------- direct (progressive 1spp passes) ----------
     dcfg = pathlib_.PathConfig(
         max_depth=sd.integrator.max_depth, nee=True, nee_all=True,
-        direct_only=True, use_pallas=use_pallas)
-    dfn = jax.jit(renderlib.render_pass_fn(sd, dcfg))
+        direct_only=True, use_pallas=use_pallas, staged=staged)
+    dfn_raw = renderlib.render_pass_fn(sd, dcfg)
+    dfn = dfn_raw if staged else jax.jit(dfn_raw, static_argnums=(4,))
     dir_film = filmlib.new_film(H, W)
     add = jax.jit(filmlib.add_sample_image)
     for p in range(direct_samples):
         L, jitter, _ = dfn(scene, cam, jax.random.fold_in(key, 5000), p)
-        dir_film = filmlib.add_sample_image(dir_film, L, jitter)
+        dir_film = add(dir_film, L, jitter)
         if report is not None:
             report("direct", p + 1, direct_samples)
 

@@ -35,8 +35,8 @@ class ProbeGBuffer(NamedTuple):
 
 
 def render_probes(scene, positions, normals, key, hemi_size: int = 32,
-                  use_pallas: bool = False, jitter: bool = True
-                  ) -> ProbeGBuffer:
+                  use_pallas: bool = False, staged: bool = False,
+                  jitter: bool = True) -> ProbeGBuffer:
     """positions, normals: (P, 3) world-space probe anchors (the normal is
     the already-flipped outward surface normal, ref
     iisptrenderrunner.cpp:300-312)."""
@@ -60,6 +60,7 @@ def render_probes(scene, positions, normals, key, hemi_size: int = 32,
         nee=True,
         skip_bounce0_le=True,
         use_pallas=use_pallas,
+        staged=staged,
     )
     kp = smplr.wave_key(key, 0, 0, smplr.DIM_PROBE)
     L, aux = pathlib_.trace_paths(scene, o, d, kp, cfg, collect_aux=True)
@@ -83,14 +84,55 @@ def render_probes(scene, positions, normals, key, hemi_size: int = 32,
 
 
 def find_first_nonspecular(scene, o, d, key, max_chase: int = 8,
-                           use_pallas: bool = False):
+                           use_pallas: bool = False, staged: bool = False):
     """Specular chase: follow mirror/glass bounces to the first diffuse
     hit (ref: iisptrenderrunner.cpp:657-757 find_intersection, 24-bounce
     specular chase; 8 static iterations cover practical scenes).
 
+    staged=True runs the chase loop on the host with one cached jitted
+    step (small device programs — required with the pallas path).
     Returns dict: found (N,), p, n (outward, flipped against ray), wo,
     mat (N,), beta (N,3), background (N,3), emitted (N,3).
     """
+    import jax
+
+    N = o.shape[0]
+    carry0 = (
+        o, d, jnp.ones((N, 3), jnp.float32), jnp.ones(N, bool),
+        jnp.zeros(N, bool), jnp.zeros((N, 3), jnp.float32),
+        jnp.zeros((N, 3), jnp.float32), jnp.zeros((N, 3), jnp.float32),
+        jnp.zeros(N, jnp.int32), jnp.zeros((N, 2), jnp.float32),
+        jnp.zeros((N, 3), jnp.float32), jnp.zeros((N, 3), jnp.float32),
+    )
+    if staged:
+        step = _chase_step(use_pallas)
+        carry = carry0
+        for i in range(max_chase):
+            carry = step(scene, carry, jnp.int32(i), key)
+    else:
+        carry, _ = jax.lax.scan(
+            lambda c, i: (_chase_body(scene, c, i, key, use_pallas), None),
+            carry0, jnp.arange(max_chase))
+    (o, d, beta, alive, found, p, n, wo, mat, uv, background,
+     emitted) = carry
+    return dict(found=found, p=p, n=n, wo=wo, mat=mat, uv=uv, beta=beta,
+                background=background, emitted=emitted)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _chase_step(use_pallas: bool):
+    import jax
+
+    @jax.jit
+    def step(scene, carry, i, key):
+        return _chase_body(scene, carry, i, key, use_pallas)
+    return step
+
+
+def _chase_body(scene, carry, i, key, use_pallas):
     import jax
 
     from ..ops import bsdf as bsdflib
@@ -98,12 +140,11 @@ def find_first_nonspecular(scene, o, d, key, max_chase: int = 8,
     from ..ops import lights as lightlib
     from ..scene.api import MAT_MIRROR, MAT_GLASS
 
-    N = o.shape[0]
-
-    def body(carry, i):
+    if True:
         (o, d, beta, alive, found, p, n, wo, mat, uv, background,
          emitted) = carry
-        t_max = jnp.full(N, 1e30, jnp.float32)
+        N = o.shape[0]
+        t_max = jnp.where(alive, 1e30, -1.0)
         hit = isect.intersect(scene, o, d, t_max, use_pallas=use_pallas)
         it = isect.make_interaction(scene, o, d, hit)
 
@@ -151,17 +192,4 @@ def find_first_nonspecular(scene, o, d, key, max_chase: int = 8,
         d = jnp.where(ok[:, None], wi_w, d)
         alive = ok
         return (o, d, beta, alive, found, p, n, wo, mat, uv, background,
-                emitted), None
-
-    carry0 = (
-        o, d, jnp.ones((N, 3), jnp.float32), jnp.ones(N, bool),
-        jnp.zeros(N, bool), jnp.zeros((N, 3), jnp.float32),
-        jnp.zeros((N, 3), jnp.float32), jnp.zeros((N, 3), jnp.float32),
-        jnp.zeros(N, jnp.int32), jnp.zeros((N, 2), jnp.float32),
-        jnp.zeros((N, 3), jnp.float32), jnp.zeros((N, 3), jnp.float32),
-    )
-    carry, _ = jax.lax.scan(body, carry0, jnp.arange(max_chase))
-    (o, d, beta, alive, found, p, n, wo, mat, uv, background,
-     emitted) = carry
-    return dict(found=found, p=p, n=n, wo=wo, mat=mat, uv=uv, beta=beta,
-                background=background, emitted=emitted)
+                emitted)
