@@ -217,9 +217,16 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool):
         # escaped rays: infinite lights
         esc = alive & (~hit.valid) & (~scatter)
         env = lightlib.environment_le(scene, d)
-        n_l = jnp.maximum(scene.n_lights, 1).astype(jnp.float32)
-        inf_sel_pdf = 1.0 / n_l
-        env_pdf = smp.INV_4PI * inf_sel_pdf
+        # selection probability of the infinite light(s) under the scene's
+        # light distribution (power or uniform)
+        Ls = scene.light_kind.shape[0]
+        live_l = jnp.arange(Ls) < scene.n_lights
+        inf_sel_pdf = jnp.sum(jnp.where(
+            (scene.light_kind == 2) & live_l, scene.light_pdf, 0.0))
+        env_dir_pdf = jnp.where(
+            scene.has_env_map > 0,
+            lightlib._env_dir_pdf(scene, d), smp.INV_4PI)
+        env_pdf = env_dir_pdf * inf_sel_pdf
         use_mis = (bounce > 0) & (~spec) & cfg.nee
         w_env = _mis_or_one(use_mis, prev_pdf, env_pdf)
         skip0 = cfg.skip_bounce0_le & (bounce == 0)
@@ -230,7 +237,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool):
         lid = jnp.maximum(it.light, 0)
         le = lightlib.area_light_le(scene, lid, it.ng, it.wo)
         hit_cos = jnp.abs(vm.dot(it.ng, d))
-        area_pdf = lightlib.pdf_li(scene, lid, o, d, hit.t, hit_cos) * inf_sel_pdf
+        hit_sel_pdf = jnp.take(scene.light_pdf, lid)
+        area_pdf = lightlib.pdf_li(scene, lid, o, d, hit.t,
+                                   hit_cos) * hit_sel_pdf
         w_le = _mis_or_one(use_mis, prev_pdf, area_pdf)
         L = L + jnp.where((emissive & ~skip0)[:, None],
                           beta * le * w_le[:, None], 0.0)

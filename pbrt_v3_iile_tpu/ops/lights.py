@@ -33,12 +33,14 @@ class LightSample(NamedTuple):
 
 
 def choose_light(scene, u):
-    """Uniform light selection (ref: integrator.cpp:85
-    UniformSampleOneLight).  Returns (light_id, select_pdf)."""
-    nl = jnp.maximum(scene.n_lights, 1)
-    idx = jnp.minimum((u * nl).astype(jnp.int32), nl - 1)
-    pdf = 1.0 / nl.astype(jnp.float32)
-    return idx, jnp.full(u.shape, pdf)
+    """Light selection by the scene's distribution (uniform or
+    power-weighted; ref: integrator.cpp:85 UniformSampleOneLight +
+    lightdistrib.cpp).  Returns (light_id, select_pdf)."""
+    L = scene.light_cdf.shape[0]
+    idx = jnp.clip(jnp.searchsorted(scene.light_cdf, u),
+                   0, jnp.maximum(scene.n_lights - 1, 0)).astype(jnp.int32)
+    pdf = jnp.take(scene.light_pdf, idx)
+    return idx, pdf
 
 
 def _sample_light_triangle(scene, light_id, u):

@@ -324,12 +324,31 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     wradius = 0.5 * float(np.linalg.norm(wmax - wmin))
     wradius = max(wradius, 1e-3)
 
-    # light selection: uniform over lights (ref: integrator.cpp
-    # UniformSampleOneLight with uniform distribution; spatial distribution
-    # is a variance optimization we can add later)
+    # light selection: power-weighted when requested (ref:
+    # lightdistrib.cpp PowerLightDistribution / light Power() methods),
+    # else uniform (UniformLightDistribution).  The spatial voxel
+    # distribution degrades to power here.
     nl = len(sd.lights)
-    lpdf = np.full(L, 1.0 / max(nl, 1), np.float32)
-    lcdf = np.cumsum(lpdf)
+    use_power = sd.integrator.light_strategy in ("power", "spatial")
+    powers = np.zeros(L, np.float64)
+    for i, lrec in enumerate(sd.lights):
+        lum = float(np.dot(np.asarray(lrec.L, np.float64),
+                           [0.212671, 0.715160, 0.072169]))
+        if lrec.kind == apilib.LIGHT_POINT:
+            powers[i] = 4.0 * np.pi * lum
+        elif lrec.kind == apilib.LIGHT_SPOT:
+            powers[i] = 2.0 * np.pi * lum * (
+                1.0 - 0.5 * (lrec.cos_falloff + lrec.cos_total))
+        elif lrec.kind in (apilib.LIGHT_DISTANT, apilib.LIGHT_INFINITE):
+            powers[i] = np.pi * wradius * wradius * lum
+        elif lrec.kind in (apilib.LIGHT_AREA_TRI, apilib.LIGHT_AREA_SPHERE):
+            powers[i] = np.pi * lum * max(l_area[i], 1e-12) *                 (2.0 if lrec.two_sided else 1.0)
+    if use_power and powers[:max(nl, 1)].sum() > 0 and nl > 0:
+        lpdf = np.zeros(L, np.float32)
+        lpdf[:nl] = (powers[:nl] / powers[:nl].sum()).astype(np.float32)
+    else:
+        lpdf = np.full(L, 1.0 / max(nl, 1), np.float32)
+    lcdf = np.cumsum(lpdf).astype(np.float32)
 
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
