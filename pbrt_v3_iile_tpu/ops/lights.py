@@ -20,7 +20,7 @@ from ..utils import vecmath as vm
 from . import sampling as smp
 from ..scene.api import (
     LIGHT_POINT, LIGHT_DISTANT, LIGHT_INFINITE, LIGHT_AREA_TRI,
-    LIGHT_AREA_SPHERE, LIGHT_SPOT,
+    LIGHT_AREA_SPHERE, LIGHT_SPOT, LIGHT_GONIO, LIGHT_PROJECTION,
 )
 
 
@@ -85,6 +85,10 @@ def sample_li(scene, light_id, p_ref, u3) -> LightSample:
     falloff = jnp.where(cos_t >= cf, 1.0,
                         jnp.where(cos_t <= ct, 0.0, (delta_f ** 2) ** 2))
     li_spot = li_point * falloff[:, None]
+
+    # ---- goniometric / projection (point lights modulated by a map) ----
+    li_gonio = li_point * _gonio_scale(scene, light_id, -wi_p)
+    li_proj = li_point * _projection_scale(scene, light_id, -wi_p)
 
     # ---- distant ----
     wi_d = ldir
@@ -160,6 +164,8 @@ def sample_li(scene, light_id, p_ref, u3) -> LightSample:
     is_inf = kind == LIGHT_INFINITE
     is_tri = kind == LIGHT_AREA_TRI
     is_sph = kind == LIGHT_AREA_SPHERE
+    is_gon = kind == LIGHT_GONIO
+    is_prj = kind == LIGHT_PROJECTION
 
     def sel(*pairs, default):
         out = default
@@ -170,15 +176,17 @@ def sample_li(scene, light_id, p_ref, u3) -> LightSample:
         return out
 
     li_inf = jnp.where(use_env[:, None], li_e, L)
-    wi = sel((is_pt | is_spot, wi_p), (is_dist, wi_d), (is_inf, wi_i),
+    is_ptlike = is_pt | is_spot | is_gon | is_prj
+    wi = sel((is_ptlike, wi_p), (is_dist, wi_d), (is_inf, wi_i),
              (is_tri, wi_t), (is_sph, wi_s), default=wi_i)
-    li = sel((is_pt, li_point), (is_spot, li_spot), (is_dist, L),
+    li = sel((is_pt, li_point), (is_spot, li_spot), (is_gon, li_gonio),
+             (is_prj, li_proj), (is_dist, L),
              (is_inf, li_inf), (is_tri, li_t), (is_sph, li_s), default=L)
-    pdf = sel((is_pt | is_spot | is_dist, jnp.ones(N)), (is_inf, pdf_i),
+    pdf = sel((is_ptlike | is_dist, jnp.ones(N)), (is_inf, pdf_i),
               (is_tri, pdf_t), (is_sph, pdf_s), default=jnp.ones(N))
-    dist = sel((is_pt | is_spot, dist_p), (is_dist | is_inf, dist_i),
+    dist = sel((is_ptlike, dist_p), (is_dist | is_inf, dist_i),
                (is_tri, dist_t), (is_sph, ds), default=dist_i)
-    is_delta = is_pt | is_spot | is_dist
+    is_delta = is_ptlike | is_dist
     return LightSample(wi=wi, li=li, pdf=pdf, dist=dist, is_delta=is_delta)
 
 
@@ -301,6 +309,62 @@ def environment_le(scene, d):
     out = jnp.broadcast_to(total_const, d.shape)
     env = _env_lookup(scene, d)
     return jnp.where(scene.has_env_map > 0, out + env, out)
+
+
+def _light_map_lookup(scene, img_id, u, v):
+    """Bilinear lookup into the stacked light map array for rays whose
+    light has a map; rays with img_id<0 get 1.0."""
+    G, MH, MW = scene.light_img.shape[:3]
+    gi = jnp.clip(img_id, 0, G - 1)
+    fx = u * MW - 0.5
+    fy = v * MH - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+    x0c = jnp.clip(x0, 0, MW - 1)
+    x1c = jnp.clip(x0 + 1, 0, MW - 1)
+    y0c = jnp.clip(y0, 0, MH - 1)
+    y1c = jnp.clip(y0 + 1, 0, MH - 1)
+    flat = scene.light_img.reshape(-1, 3)
+    at = lambda x, y: jnp.take(flat, (gi * MH + y) * MW + x, axis=0)
+    val = ((1 - ax) * (1 - ay) * at(x0c, y0c) + ax * (1 - ay) * at(x1c, y0c)
+           + (1 - ax) * ay * at(x0c, y1c) + ax * ay * at(x1c, y1c))
+    return jnp.where((img_id >= 0)[..., None], val, 1.0)
+
+
+def _gonio_scale(scene, light_id, w):
+    """Goniophotometric angular scale for world direction w from the
+    light (ref: goniometric.h Scale: world->light, swap y/z, lat-long
+    lookup)."""
+    g = lambda a: jnp.take(a, light_id, axis=0)
+    w2l = g(scene.light_w2l)                         # (N,3,3)
+    wl = jnp.einsum("nij,nj->ni", w2l, w)
+    wl = wl / jnp.maximum(vm.length(wl), 1e-12)[..., None]
+    # swap y/z (the reference's photometric maps are y-up)
+    wl = jnp.stack([wl[..., 0], wl[..., 2], wl[..., 1]], axis=-1)
+    theta = vm.spherical_theta(wl)
+    phi = vm.spherical_phi(wl)
+    return _light_map_lookup(scene, g(scene.light_img_id),
+                             phi * smp.INV_2PI, theta / jnp.pi)
+
+
+def _projection_scale(scene, light_id, w):
+    """Projection-light screen lookup for world direction w (ref:
+    projection.cpp Projection: perspective-project into the fov window,
+    zero outside)."""
+    g = lambda a: jnp.take(a, light_id, axis=0)
+    w2l = g(scene.light_w2l)
+    wl = jnp.einsum("nij,nj->ni", w2l, w)
+    z = wl[..., 2]
+    ax = g(scene.light_proj_ax)
+    ay = g(scene.light_proj_ay)
+    zs = jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = (wl[..., 0] / (zs * ax) + 1.0) * 0.5
+    v = (wl[..., 1] / (zs * ay) + 1.0) * 0.5
+    inside = (z > 1e-3) & (u >= 0) & (u <= 1) & (v >= 0) & (v <= 1)
+    val = _light_map_lookup(scene, g(scene.light_img_id), u, 1.0 - v)
+    return jnp.where(inside[..., None], val, 0.0)
 
 
 def has_infinite(scene):

@@ -53,6 +53,8 @@ LIGHT_INFINITE = 2
 LIGHT_AREA_TRI = 3    # diffuse area light over a triangle range
 LIGHT_AREA_SPHERE = 4  # diffuse area light on an analytic sphere
 LIGHT_SPOT = 5
+LIGHT_GONIO = 6       # goniophotometric: point light with angular map
+LIGHT_PROJECTION = 7  # point light projecting a texture through a fov
 
 
 @dataclasses.dataclass
@@ -95,8 +97,10 @@ class LightRecord:
     tri_start: int = -1            # triangle range [start, start+count)
     tri_count: int = 0
     sphere_index: int = -1
-    map_name: str = ""             # infinite light env map
+    map_name: str = ""             # infinite/gonio/projection image map
     to_world: np.ndarray = None    # (3,3) light-to-world rotation (infinite)
+    w2l: np.ndarray = None         # (3,3) world-to-light rotation (gonio/proj)
+    fov: float = 45.0              # projection light field of view (deg)
 
 
 @dataclasses.dataclass
@@ -521,7 +525,31 @@ class Api:
                 LightRecord(LIGHT_INFINITE, L, map_name=mapname,
                             to_world=self.ctm[:3, :3].copy())
             )
-        # goniometric / projection: not yet supported
+        elif kind in ("goniometric", "projection"):
+            # ref: src/lights/goniometric.cpp, projection.cpp — point
+            # lights whose intensity is modulated by an image map of the
+            # outgoing direction (angular lat-long map / projected
+            # texture inside a fov cone).
+            i = ps.find_one_rgb("I", [1, 1, 1]) * sc
+            frm = ps.find_floats("from")
+            frm = frm if frm is not None else np.zeros(3)
+            pos = xf.apply_point(self.ctm, frm)
+            mapname = ps.find_one_string("mapname", "")
+            if mapname and not os.path.isabs(mapname):
+                mapname = os.path.join(self.base_dir, mapname)
+            rot = np.asarray(self.ctm[:3, :3], np.float64)
+            # orthonormalize the rotation part (scene scale must not
+            # distort the direction mapping)
+            q, _ = np.linalg.qr(rot)
+            lkind = LIGHT_GONIO if kind == "goniometric" else LIGHT_PROJECTION
+            self.scene.lights.append(
+                LightRecord(lkind, i, position=pos, map_name=mapname,
+                            w2l=q.T.astype(np.float32),
+                            fov=ps.find_one_float("fov", 45.0)))
+        else:
+            import sys
+            print(f"warning: light '{kind}' not supported, skipping",
+                  file=sys.stderr)
 
     def AreaLightSource(self, kind, ps: ParamSet):
         self.gs.area_light = ps

@@ -9,6 +9,7 @@ Replicated across the device mesh (small-scene regime, ref SURVEY §5).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -87,6 +88,12 @@ class DeviceScene(NamedTuple):
     light_pdf: jnp.ndarray          # (L,) selection probability
     light_cdf: jnp.ndarray          # (L,) cumulative selection
     n_lights: jnp.ndarray           # () i32
+    # goniometric / projection light maps (fixed-size resampled stack)
+    light_w2l: jnp.ndarray      # (L,3,3) world-to-light rotation
+    light_img: jnp.ndarray      # (G, MH, MW, 3) per-light direction maps
+    light_img_id: jnp.ndarray   # (L,) i32 index into light_img or -1
+    light_proj_ax: jnp.ndarray  # (L,) projection: tan(fov/2)*screen half-x
+    light_proj_ay: jnp.ndarray  # (L,)
     # --- light-triangle table (for area sampling; own ordering) ---
     ltri_p0: jnp.ndarray     # (K,3)
     ltri_e1: jnp.ndarray
@@ -302,6 +309,67 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         l2s[i] = 1.0 if lrec.two_sided else 0.0
         lsph[i] = lrec.sphere_index
 
+    # ---- goniometric / projection direction maps ----
+    MH, MW = 64, 128
+    lw2l = np.tile(np.eye(3, dtype=np.float32)[None], (L, 1, 1))
+    limg_id = np.full(L, -1, np.int32)
+    lproj_ax = np.ones(L, np.float32)
+    lproj_ay = np.ones(L, np.float32)
+    lmaps = []
+    lmap_mean_lum = np.ones(L, np.float32)
+    for i, lrec in enumerate(sd.lights):
+        if lrec.kind not in (apilib.LIGHT_GONIO, apilib.LIGHT_PROJECTION):
+            continue
+        if lrec.w2l is not None:
+            lw2l[i] = lrec.w2l
+        if lrec.kind == apilib.LIGHT_PROJECTION:
+            tan_half = float(np.tan(0.5 * np.deg2rad(lrec.fov)))
+            aspect = 1.0
+            img = None
+            if lrec.map_name and not os.path.exists(lrec.map_name):
+                import sys
+                print(f"warning: light map {lrec.map_name} not found; "
+                      f"treating as unfiltered", file=sys.stderr)
+            if lrec.map_name and os.path.exists(lrec.map_name):
+                try:
+                    img = texlib._load_image_any(lrec.map_name)
+                    aspect = img.shape[1] / img.shape[0]
+                except Exception as e:
+                    import sys
+                    print(f"warning: projection map load failed: {e}",
+                          file=sys.stderr)
+            # ref: projection.cpp screen window — fov maps to the
+            # shorter axis; the longer axis extends by the aspect ratio
+            if aspect > 1.0:
+                lproj_ax[i] = tan_half * aspect
+                lproj_ay[i] = tan_half
+            else:
+                lproj_ax[i] = tan_half
+                lproj_ay[i] = tan_half / aspect
+            if img is not None:
+                limg_id[i] = len(lmaps)
+                lmaps.append(_resample_bilinear(img, MH, MW))
+        else:  # goniometric
+            if lrec.map_name and not os.path.exists(lrec.map_name):
+                import sys
+                print(f"warning: light map {lrec.map_name} not found; "
+                      f"treating as unfiltered", file=sys.stderr)
+            if lrec.map_name and os.path.exists(lrec.map_name):
+                try:
+                    img = texlib._load_image_any(lrec.map_name)
+                    limg_id[i] = len(lmaps)
+                    lmaps.append(_resample_bilinear(img, MH, MW))
+                except Exception as e:
+                    import sys
+                    print(f"warning: gonio map load failed: {e}",
+                          file=sys.stderr)
+    for i in range(L):
+        if limg_id[i] >= 0:
+            lum = lmaps[limg_id[i]] @ np.array([0.212671, 0.715160, 0.072169])
+            lmap_mean_lum[i] = float(lum.mean())
+    light_img = (np.stack(lmaps) if lmaps
+                 else np.ones((1, MH, MW, 3), np.float32))
+
     # ---- media ----
     D = max(1, len(sd.media))
     med_a = np.zeros((D, 3), np.float32)
@@ -343,6 +411,14 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
             powers[i] = np.pi * wradius * wradius * lum
         elif lrec.kind in (apilib.LIGHT_AREA_TRI, apilib.LIGHT_AREA_SPHERE):
             powers[i] = np.pi * lum * max(l_area[i], 1e-12) *                 (2.0 if lrec.two_sided else 1.0)
+        elif lrec.kind == apilib.LIGHT_GONIO:
+            # ref: goniometric.h Power(): 4 pi I * mean(map)
+            powers[i] = 4.0 * np.pi * lum * lmap_mean_lum[i]
+        elif lrec.kind == apilib.LIGHT_PROJECTION:
+            # ref: projection.cpp Power(): solid angle of the cone
+            tan2 = lproj_ax[i] * lproj_ay[i]
+            cos_w = 1.0 / np.sqrt(1.0 + tan2)
+            powers[i] = 2.0 * np.pi * (1.0 - cos_w) * lum * lmap_mean_lum[i]
     if use_power and powers[:max(nl, 1)].sum() > 0 and nl > 0:
         lpdf = np.zeros(L, np.float32)
         lpdf[:nl] = (powers[:nl] / powers[:nl].sum()).astype(np.float32)
@@ -406,6 +482,9 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         light_sphere=i32(lsph), light_tri_off=i32(l_off),
         light_tri_cnt=i32(l_cnt), light_area=f32(l_area),
         light_pdf=f32(lpdf), light_cdf=f32(lcdf), n_lights=i32(nl),
+        light_w2l=f32(lw2l), light_img=f32(light_img),
+        light_img_id=i32(limg_id), light_proj_ax=f32(lproj_ax),
+        light_proj_ay=f32(lproj_ay),
         ltri_p0=f32(ltri_p0), ltri_e1=f32(ltri_e1), ltri_e2=f32(ltri_e2),
         ltri_ng=f32(ltri_ng), ltri_area=f32(ltri_area),
         ltri_cdf=f32(ltri_cdf), ltri_light=i32(ltri_light),
@@ -472,6 +551,28 @@ def _build_env_map(sd):
                    has=1, light_id=li)
         break
     return out
+
+
+def _resample_bilinear(img, h, w):
+    """Host-side bilinear resample to a fixed (h, w, 3) raster so all
+    light maps stack into one device array."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=-1)
+    ih, iw = img.shape[:2]
+    fy = (np.arange(h) + 0.5) / h * ih - 0.5
+    fx = (np.arange(w) + 0.5) / w * iw - 0.5
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, ih - 1)
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, iw - 1)
+    y1 = np.clip(y0 + 1, 0, ih - 1)
+    x1 = np.clip(x0 + 1, 0, iw - 1)
+    ay = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    ax = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    out = ((1 - ay) * (1 - ax) * img[y0][:, x0]
+           + (1 - ay) * ax * img[y0][:, x1]
+           + ay * (1 - ax) * img[y1][:, x0]
+           + ay * ax * img[y1][:, x1])
+    return out.astype(np.float32)
 
 
 def _smooth_from_geo(p):
