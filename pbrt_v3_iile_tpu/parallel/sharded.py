@@ -71,19 +71,23 @@ def sharded_render_pass(sd, mesh, cfg=None):
 # sharded training step (U-Net, data-parallel over the mesh)
 # ---------------------------------------------------------------------------
 
-def make_train_step(net, optimizer, mesh):
+def make_train_step(net, optimizer, mesh, loss: str = "l1"):
     """Data-parallel train step: batch sharded over (dp, tile), params
-    replicated, gradient all-reduce inserted by XLA over ICI (P8)."""
+    replicated, gradient all-reduce inserted by XLA over ICI (P8).
+
+    loss: 'l1' (reference default, ml/main_train.py:23), 'rel_l1' or
+    'rel_mse' (ref: ml/iispt_loss.py)."""
+    from ..ml import losses as losslib
+
     batch_sharding = meshlib.shard_batch(mesh)
     rep = meshlib.replicated(mesh)
+    loss_f = losslib.get(loss)
 
     def loss_fn(params, batch_stats, x, y):
         out, updates = net.apply(
             {"params": params, "batch_stats": batch_stats}, x, train=True,
             mutable=["batch_stats"])
-        # L1 loss (ref: ml/main_train.py:23 + iispt_loss.py)
-        loss = jnp.mean(jnp.abs(out - y))
-        return loss, updates["batch_stats"]
+        return loss_f(out, y), updates["batch_stats"]
 
     @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, x, y):
