@@ -90,13 +90,23 @@ def _mis_or_one(use_mis, prev_pdf, light_pdf):
     return jnp.where(use_mis, w, 1.0)
 
 
+# primary-sample layout per bounce when driving the tracer from an
+# explicit u-vector (PSSMLT, integrators/mlt.py):
+# [med_u0, med_u1, light_sel, light_u0..2, lobe, dir_u0, dir_u1, rr]
+PRIM_DIMS_PER_BOUNCE = 10
+
+
 def trace_paths(scene, o0, d0, key, cfg: PathConfig,
-                beta0=None, collect_aux: bool = False):
+                beta0=None, collect_aux: bool = False, u_prim=None):
     """Traces N paths; returns radiance (N,3) [and aux dict].
 
     o0, d0: (N,3) primary rays.  key: per-wavefront base PRNG key.
     aux (when collect_aux): first-hit distance, world normal, hit mask —
     the probe G-buffer channels (ref: iispt_d.cpp:98-113).
+    u_prim: optional (N, max_depth+1, PRIM_DIMS_PER_BOUNCE) explicit
+    primary samples — the tracer becomes a deterministic function of
+    u_prim (Metropolis requirement; ref: mlt.cpp MLTSampler's primary
+    sample space).  nee_all is not supported with u_prim.
     """
     N = o0.shape[0]
     if beta0 is None:
@@ -114,7 +124,8 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
     med0 = jnp.broadcast_to(scene.camera_medium, (N,)).astype(jnp.int32)
 
     def bounce_body(carry, bounce):
-        return _bounce(scene, carry, bounce, key, cfg, collect_aux), None
+        return _bounce(scene, carry, bounce, key, cfg, collect_aux,
+                       u_prim=u_prim), None
 
     carry0 = (o0, d0, beta0, L0, alive0, spec0, prev_pdf0, eta_scale0,
               aux_t0, aux_n0, ghost0, med0, jnp.zeros((), jnp.int32))
@@ -124,6 +135,7 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
         # (shape, cfg): keeps each device program small (the remote TPU
         # compile service rejects oversized modules) and is the natural
         # wavefront staging point for sorting/compaction
+        assert u_prim is None, "explicit primary samples need scan mode"
         step = _staged_step(cfg, collect_aux)
         carry = carry0
         for b in range(cfg.max_depth + 1):
@@ -149,12 +161,18 @@ def _staged_step(cfg: PathConfig, collect_aux: bool):
     return step
 
 
-def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool):
+def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
+            u_prim=None):
     """One wavefront bounce: intersect -> medium event -> Le -> NEE ->
     BSDF/phase continuation -> RR.  See trace_paths for semantics."""
     (o, d, beta, L, alive, spec, prev_pdf, eta_scale,
      aux_t, aux_n, ghost, med, ray_count) = carry
     N = o.shape[0]
+    ub = None
+    if u_prim is not None:
+        # explicit primary samples for this bounce (PSSMLT)
+        ub = jax.lax.dynamic_index_in_dim(u_prim, bounce, axis=1,
+                                          keepdims=False)  # (N, 10)
     if True:
         k_light_sel = smplr.wave_key(key, 0, bounce, smplr.DIM_LIGHT_SELECT)
         k_light = smplr.wave_key(key, 0, bounce, smplr.DIM_LIGHT_SAMPLE)
@@ -184,7 +202,8 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool):
         p_med = o
         if cfg.volumetric:
             k_med = smplr.wave_key(key, 0, bounce, smplr.DIM_PROBE)
-            u_med = smplr.uniform(k_med, (N, 2))
+            u_med = ub[:, 0:2] if ub is not None \
+                else smplr.uniform(k_med, (N, 2))
             medc = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
             sig_a = jnp.take(scene.med_sigma_a, medc, axis=0)
             sig_s = jnp.take(scene.med_sigma_s, medc, axis=0)
@@ -342,14 +361,17 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool):
                 L = L + nee_once(lid, jnp.ones(N), u_all[:, li],
                                  jnp.broadcast_to(live_light, (N,)))
         elif cfg.nee:
-            u_sel = smplr.uniform(k_light_sel, (N,))
-            u_l = smplr.uniform(k_light, (N, 3))
+            u_sel = ub[:, 2] if ub is not None \
+                else smplr.uniform(k_light_sel, (N,))
+            u_l = ub[:, 3:6] if ub is not None \
+                else smplr.uniform(k_light, (N, 3))
             light_id, sel_pdf = lightlib.choose_light(scene, u_sel)
             L = L + nee_once(light_id, sel_pdf, u_l, jnp.ones(N, bool))
 
         # ---------- BSDF sample / continuation ----------
-        u_lobe = smplr.uniform(k_lobe, (N,))
-        u_dir = smplr.uniform(k_dir, (N, 2))
+        u_lobe = ub[:, 6] if ub is not None else smplr.uniform(k_lobe, (N,))
+        u_dir = ub[:, 7:9] if ub is not None \
+            else smplr.uniform(k_dir, (N, 2))
         bs = bsdflib.sample(params, wo_l, u_lobe, u_dir)
         # detached sampling: the sampled direction and its pdf are frozen;
         # bs.f stays attached so d(beta)/d(material) flows
@@ -403,7 +425,7 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool):
         rr_beta_max = sg(vm.max_component(beta * eta_scale[:, None]))
         do_rr = (rr_beta_max < cfg.rr_threshold) & (bounce > cfg.rr_start)
         q = jnp.maximum(0.05, 1.0 - rr_beta_max)
-        u_rr = smplr.uniform(k_rr, (N,))
+        u_rr = ub[:, 9] if ub is not None else smplr.uniform(k_rr, (N,))
         killed = do_rr & (u_rr < q)
         alive = alive & (~killed)
         beta = jnp.where((do_rr & ~killed)[:, None],

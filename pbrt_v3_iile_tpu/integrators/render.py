@@ -144,6 +144,28 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
     import os
     import time
 
+    if sd.integrator.kind == "mlt":
+        # Metropolis has its own chain-wavefront driver (integrators/mlt.py)
+        from . import mlt as mltlib
+        mpp = sd.integrator.mutations_per_pixel
+        if spp is not None:
+            mpp = max(spp, 4)
+        img, st = mltlib.render_mlt(sd, mutations_per_pixel=mpp, seed=seed,
+                                    use_pallas=use_pallas)
+        if report is not None:
+            report(1, 1, None)
+        return img, dict(seconds=st["seconds"], rays=st.get("mutations", 0),
+                         mrays_per_s=0.0)
+    if sd.integrator.kind == "sppm":
+        from . import sppm as sppmlib
+        n_it = sd.integrator.sppm_iterations
+        if spp is not None:
+            n_it = max(spp, 4)
+        img, st = sppmlib.render_sppm(sd, n_iterations=n_it, seed=seed,
+                                      use_pallas=use_pallas, report=report)
+        return img, dict(seconds=st["seconds"], rays=st.get("rays", 0),
+                         mrays_per_s=st.get("mrays_per_s", 0.0))
+
     scene, cam = build(sd, use_native_bvh=use_native_bvh)
     cfg = make_integrator_config(sd, use_pallas=use_pallas)
     H, W = sd.film.y_resolution, sd.film.x_resolution

@@ -367,6 +367,219 @@ def _projection_scale(scene, light_id, w):
     return jnp.where(inside[..., None], val, 0.0)
 
 
+class LightEmission(NamedTuple):
+    o: jnp.ndarray      # (N,3) photon origin
+    d: jnp.ndarray      # (N,3) photon direction (into the scene)
+    beta: jnp.ndarray   # (N,3) Le*|cos|/(pdf_pos*pdf_dir) — photon power
+                        # before light-selection pdf division
+    valid: jnp.ndarray  # (N,)
+    # separated quantities for BDPT MIS (ref: bdpt.cpp Vertex pdfs):
+    le: jnp.ndarray       # (N,3) emitted radiance / intensity
+    n_l: jnp.ndarray      # (N,3) emission normal (= d for point-like)
+    pdf_pos: jnp.ndarray  # (N,) area-measure position pdf (1 for delta)
+    pdf_dir: jnp.ndarray  # (N,) solid-angle direction pdf (1 for delta)
+    delta_pos: jnp.ndarray  # (N,) position is a delta (point/spot/...)
+    delta_dir: jnp.ndarray  # (N,) direction is a delta (distant)
+
+
+def sample_le(scene, light_id, u6) -> LightEmission:
+    """Light::Sample_Le for photon emission (ref: point.cpp:58,
+    spot.cpp:Sample_Le, distant.cpp:Sample_Le disk emission,
+    diffuse.cpp:Sample_Le cosine hemisphere, infinite.cpp:Sample_Le).
+
+    u6: (N,6) uniforms [tri/env pick, side, pos_u0, pos_u1, dir_u0,
+    dir_u1].  The returned beta folds Le, emission cosine, and both
+    pdfs; divide by the light-selection pdf at the call site."""
+    N = u6.shape[0]
+    g = lambda a: jnp.take(a, light_id, axis=0)
+    kind = g(scene.light_kind)
+    L = g(scene.light_L)
+    pos = g(scene.light_pos)
+    ldir = g(scene.light_dir)      # for distant: wi TOWARDS the light
+    two_sided = g(scene.light_two_sided) > 0.5
+    u_pos = u6[:, 2:4]
+    u_dir = u6[:, 4:6]
+    wr = scene.world_radius
+    wc = 0.5 * (scene.world_min + scene.world_max)
+
+    # ---- point-like: uniform sphere direction ----
+    d_sph = smp.uniform_sample_sphere(u_dir)
+    beta_pt = L * (4.0 * jnp.pi)
+    # spot: uniform cone of cosTotalWidth (ref: spot.cpp Sample_Le)
+    ct, cf = g(scene.light_cos_total), g(scene.light_cos_falloff)
+    tx_s, ty_s = vm.coordinate_system(ldir)
+    w_cone = smp.uniform_sample_cone(u_dir, ct)
+    d_spot = vm.to_world(w_cone, tx_s, ty_s, ldir)
+    cos_sp = vm.dot(d_spot, ldir)
+    delta_f = jnp.clip((cos_sp - ct) / jnp.maximum(cf - ct, 1e-9), 0.0, 1.0)
+    falloff = jnp.where(cos_sp >= cf, 1.0,
+                        jnp.where(cos_sp <= ct, 0.0, (delta_f ** 2) ** 2))
+    beta_spot = L * (falloff / jnp.maximum(
+        smp.uniform_cone_pdf(ct), 1e-12))[:, None]
+    beta_gonio = beta_pt * _gonio_scale(scene, light_id, d_sph)
+    beta_proj = beta_pt * _projection_scale(scene, light_id, d_sph)
+
+    # ---- distant: disk of world radius perpendicular to the direction
+    # (ref: distant.cpp Sample_Le) ----
+    v1, v2 = vm.coordinate_system(ldir)
+    cd = smp.concentric_sample_disk(u_pos)
+    o_dist = wc + wr * (cd[:, 0:1] * v1 + cd[:, 1:2] * v2) + wr * ldir
+    d_dist = -ldir
+    beta_dist = L * (jnp.pi * wr * wr)
+
+    # ---- area triangle: area-uniform point + cosine direction ----
+    tri = _sample_light_triangle(scene, light_id, u6[:, 0])
+    b = smp.uniform_sample_triangle(u_pos)
+    p0 = jnp.take(scene.ltri_p0, tri, axis=0)
+    e1 = jnp.take(scene.ltri_e1, tri, axis=0)
+    e2 = jnp.take(scene.ltri_e2, tri, axis=0)
+    n_t = jnp.take(scene.ltri_ng, tri, axis=0)
+    p_t = p0 + b[:, 0:1] * e1 + b[:, 1:2] * e2
+    flip = two_sided & (u6[:, 1] < 0.5)
+    n_emit = jnp.where(flip[:, None], -n_t, n_t)
+    w_loc = smp.cosine_sample_hemisphere(u_dir)
+    tx_t, ty_t = vm.coordinate_system(n_emit)
+    d_tri = vm.to_world(w_loc, tx_t, ty_t, n_emit)
+    area = jnp.maximum(g(scene.light_area), 1e-12)
+    # beta = L*cos/(pdf_pos*pdf_dir) = L*area*pi; two-sided doubles power
+    beta_tri = L * (area * jnp.pi * jnp.where(two_sided, 2.0, 1.0))[:, None]
+
+    # ---- area sphere: uniform surface point + cosine direction ----
+    sph = jnp.clip(g(scene.light_sphere), 0, scene.sph_center.shape[0] - 1)
+    c_s = jnp.take(scene.sph_center, sph, axis=0)
+    r_s = jnp.take(scene.sph_radius, sph)
+    n_s = smp.uniform_sample_sphere(u_pos)
+    p_s = c_s + r_s[:, None] * n_s
+    tx_p, ty_p = vm.coordinate_system(n_s)
+    d_sphl = vm.to_world(w_loc, tx_p, ty_p, n_s)
+    beta_sphl = L * (4.0 * jnp.pi * jnp.pi * r_s * r_s)[:, None]
+
+    # ---- infinite: direction from env distribution (or uniform),
+    # origin on the world-bounding disk behind it ----
+    wi_u = smp.uniform_sample_sphere(u_dir)
+    wi_e, pdf_e, li_e = _sample_env_map(scene, u_dir)
+    use_env = (scene.has_env_map > 0) & (light_id == scene.env_light_id)
+    wi_inf = jnp.where(use_env[:, None], wi_e, wi_u)   # towards the light
+    pdf_inf = jnp.where(use_env, pdf_e, jnp.full(N, smp.INV_4PI))
+    le_inf = jnp.where(use_env[:, None], li_e, L)
+    v1i, v2i = vm.coordinate_system(wi_inf)
+    o_inf = wc + wr * (cd[:, 0:1] * v1i + cd[:, 1:2] * v2i) + wr * wi_inf
+    d_inf = -wi_inf
+    beta_inf = le_inf * (jnp.pi * wr * wr / jnp.maximum(
+        pdf_inf, 1e-12))[:, None]
+
+    is_pt = kind == LIGHT_POINT
+    is_spot = kind == LIGHT_SPOT
+    is_gon = kind == LIGHT_GONIO
+    is_prj = kind == LIGHT_PROJECTION
+    is_dist = kind == LIGHT_DISTANT
+    is_inf = kind == LIGHT_INFINITE
+    is_tri = kind == LIGHT_AREA_TRI
+    is_sph = kind == LIGHT_AREA_SPHERE
+
+    def sel3(*pairs, default):
+        out = default
+        for m, v in pairs:
+            out = jnp.where(m[:, None], v, out)
+        return out
+
+    o = sel3((is_pt | is_spot | is_gon | is_prj, pos), (is_dist, o_dist),
+             (is_inf, o_inf), (is_tri, p_t), (is_sph, p_s), default=pos)
+    d = sel3((is_pt | is_gon | is_prj, d_sph), (is_spot, d_spot),
+             (is_dist, d_dist), (is_inf, d_inf), (is_tri, d_tri),
+             (is_sph, d_sphl), default=d_sph)
+    beta = sel3((is_pt, beta_pt), (is_spot, beta_spot), (is_gon, beta_gonio),
+                (is_prj, beta_proj), (is_dist, beta_dist), (is_inf, beta_inf),
+                (is_tri, beta_tri), (is_sph, beta_sphl), default=beta_pt)
+    valid = (light_id >= 0) & (light_id < scene.n_lights) & \
+        (vm.luminance(jnp.abs(beta)) > 0.0)
+
+    # separated emission pdfs / radiance (ref: *.cpp Pdf_Le signatures)
+    N1 = jnp.ones(N)
+    le = sel3((is_pt, L), (is_spot, L * falloff[:, None]),
+              (is_gon, L * _gonio_scale(scene, light_id, d_sph)),
+              (is_prj, L * _projection_scale(scene, light_id, d_sph)),
+              (is_dist, L), (is_inf, le_inf), (is_tri, L), (is_sph, L),
+              default=L)
+    n_emit_out = sel3((is_tri, n_emit), (is_sph, n_s), default=d)
+    inv_disk = 1.0 / jnp.maximum(jnp.pi * wr * wr, 1e-12)
+    pdf_pos = jnp.where(is_tri, 1.0 / area,
+               jnp.where(is_sph, 1.0 / jnp.maximum(
+                   4.0 * jnp.pi * r_s * r_s, 1e-12),
+               jnp.where(is_dist | is_inf, inv_disk, N1)))
+    cos_emit = jnp.where(is_tri | is_sph,
+                         vm.absdot(d, n_emit_out), N1)
+    pdf_dir = jnp.where(is_tri | is_sph,
+                        smp.cosine_hemisphere_pdf(cos_emit),
+               jnp.where(is_pt | is_gon | is_prj, jnp.full(N, smp.INV_4PI),
+               jnp.where(is_spot, smp.uniform_cone_pdf(ct),
+               jnp.where(is_inf, pdf_inf, N1))))
+    delta_pos = is_pt | is_spot | is_gon | is_prj
+    delta_dir = is_dist
+    return LightEmission(o=o, d=d, beta=beta, valid=valid, le=le,
+                         n_l=n_emit_out, pdf_pos=pdf_pos, pdf_dir=pdf_dir,
+                         delta_pos=delta_pos, delta_dir=delta_dir)
+
+
+def pdf_le_dir(scene, light_id, n_l, w):
+    """Solid-angle pdf of a light at a surface point with normal n_l
+    emitting towards w (ref: diffuse.cpp/point.cpp/spot.cpp Pdf_Le
+    direction half).  Delta-direction lights (distant) return 0."""
+    g = lambda a: jnp.take(a, light_id, axis=0)
+    kind = g(scene.light_kind)
+    two_sided = g(scene.light_two_sided) > 0.5
+    cos_w = vm.dot(n_l, w)
+    pdf_area = jnp.where(two_sided,
+                         0.5 * smp.cosine_hemisphere_pdf(jnp.abs(cos_w)),
+                         jnp.where(cos_w > 0.0,
+                                   smp.cosine_hemisphere_pdf(cos_w), 0.0))
+    ct = g(scene.light_cos_total)
+    cos_sp = vm.dot(g(scene.light_dir), w)
+    pdf_spot = jnp.where(cos_sp >= ct, smp.uniform_cone_pdf(ct), 0.0)
+    pdf_inf = jnp.where(
+        (scene.has_env_map > 0) & (light_id == scene.env_light_id),
+        _env_dir_pdf(scene, -w), smp.INV_4PI)
+    is_area = (kind == LIGHT_AREA_TRI) | (kind == LIGHT_AREA_SPHERE)
+    is_ptlike = (kind == LIGHT_POINT) | (kind == LIGHT_GONIO) | \
+        (kind == LIGHT_PROJECTION)
+    return jnp.where(is_area, pdf_area,
+           jnp.where(is_ptlike, smp.INV_4PI,
+           jnp.where(kind == LIGHT_SPOT, pdf_spot,
+           jnp.where(kind == LIGHT_INFINITE, pdf_inf, 0.0))))
+
+
+def pdf_light_origin(scene, light_id):
+    """Area-measure pdf of sampling this light's emission origin, times
+    the scene light-selection pdf (ref: bdpt Vertex::PdfLightOrigin).
+    Delta-position lights return 0 (remapped by the MIS delta flags)."""
+    g = lambda a: jnp.take(a, light_id, axis=0)
+    kind = g(scene.light_kind)
+    sel = jnp.take(scene.light_pdf, light_id)
+    area = jnp.maximum(g(scene.light_area), 1e-12)
+    sph = jnp.clip(g(scene.light_sphere), 0, scene.sph_center.shape[0] - 1)
+    r_s = jnp.take(scene.sph_radius, sph)
+    inv_disk = 1.0 / jnp.maximum(
+        jnp.pi * scene.world_radius * scene.world_radius, 1e-12)
+    pdf_pos = jnp.where(kind == LIGHT_AREA_TRI, 1.0 / area,
+               jnp.where(kind == LIGHT_AREA_SPHERE,
+                         1.0 / jnp.maximum(4.0 * jnp.pi * r_s * r_s, 1e-12),
+               jnp.where(kind == LIGHT_DISTANT, inv_disk, 0.0)))
+    return pdf_pos * sel
+
+
+def finite_light_distribution(scene):
+    """(pdf, cdf) over light slots restricted to non-infinite lights,
+    renormalized — BDPT light subpaths start from finite lights only
+    (escaped-ray + NEE strategies cover the environment)."""
+    Ls = scene.light_kind.shape[0]
+    live = jnp.arange(Ls) < scene.n_lights
+    w = jnp.where(live & (scene.light_kind != LIGHT_INFINITE),
+                  scene.light_pdf, 0.0)
+    total = jnp.maximum(jnp.sum(w), 1e-20)
+    pdf = w / total
+    return pdf, jnp.cumsum(pdf)
+
+
 def has_infinite(scene):
     L = scene.light_kind.shape[0]
     live = jnp.arange(L) < scene.n_lights

@@ -173,6 +173,14 @@ class IntegratorDesc:
     # ao
     cos_sample: bool = True
     n_samples: int = 64
+    # mlt (ref: mlt.cpp CreateMLTIntegrator defaults)
+    mutations_per_pixel: int = 100
+    mlt_p_large: float = 0.3
+    mlt_sigma: float = 0.01
+    # sppm (ref: sppm.cpp CreateSPPMIntegrator defaults)
+    photons_per_iteration: int = -1   # -1 => one per pixel
+    initial_radius: float = 1.0
+    sppm_iterations: int = 64
 
 
 class SceneDesc:
@@ -350,6 +358,12 @@ class Api:
         i.dl_strategy = ps.find_one_string("strategy", "all")
         i.cos_sample = ps.find_one_bool("cossample", True)
         i.n_samples = ps.find_one_int("nsamples", 64)
+        i.mutations_per_pixel = ps.find_one_int("mutationsperpixel", 100)
+        i.mlt_p_large = ps.find_one_float("largestepprobability", 0.3)
+        i.mlt_sigma = ps.find_one_float("sigma", 0.01)
+        i.photons_per_iteration = ps.find_one_int("photonsperiteration", -1)
+        i.initial_radius = ps.find_one_float("radius", 1.0)
+        i.sppm_iterations = ps.find_one_int("numiterations", 64)
 
     def Accelerator(self, kind, ps: ParamSet):
         self.scene.accelerator = kind
