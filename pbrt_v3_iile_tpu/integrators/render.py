@@ -31,8 +31,8 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
     kind = sd.integrator.kind
     has_media = len(getattr(sd, "media", [])) > 0
     if kind in ("path", "volpath", "bdpt", "mlt", "sppm", "iispt"):
-        # bdpt/mlt/sppm estimate the same transport; the wavefront path
-        # estimator covers their output for the target scene class
+        # bdpt/mlt/sppm have their own drivers (integrators/bdpt.py,
+        # mlt.py, sppm.py); this config carries the shared knobs
         return pathlib_.PathConfig(
             max_depth=sd.integrator.max_depth,
             rr_threshold=sd.integrator.rr_threshold,
@@ -109,6 +109,11 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
                                cos_sample=sd.integrator.cos_sample,
                                use_pallas=cfg.use_pallas)
             aux = {"rays": jnp.int32(2 * CH * W)}
+        elif sd.integrator.kind == "bdpt":
+            from . import bdpt as bdptlib
+            L, aux = bdptlib.trace_bdpt(scene, o, d, k,
+                                        max_depth=sd.integrator.max_depth,
+                                        use_pallas=cfg.use_pallas)
         else:
             L, aux = pathlib_.trace_paths(scene, o, d, k, cfg)
         return (L.reshape(CH, W, 3), jitter.reshape(CH, W, 2), aux["rays"])

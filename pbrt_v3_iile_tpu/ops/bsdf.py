@@ -22,7 +22,7 @@ from ..utils import vecmath as vm
 from . import sampling as smp
 from ..scene.api import (
     MAT_NONE, MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL,
-    MAT_UBER, MAT_SUBSTRATE, MAT_TRANSLUCENT,
+    MAT_UBER, MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_DISNEY,
 )
 
 INV_PI = 1.0 / jnp.pi
@@ -39,6 +39,9 @@ class BsdfParams(NamedTuple):
     metal_eta: jnp.ndarray   # (N,3)
     metal_k: jnp.ndarray     # (N,3)
     sigma: jnp.ndarray       # (N,) oren-nayar sigma (degrees)
+    aux: jnp.ndarray         # (N,8) disney [metallic, specTint, sheen,
+                             # sheenTint, clearcoat, ccGloss, specTrans,
+                             # flatness] (ref: materials/disney.cpp)
 
 
 def roughness_to_alpha(rough):
@@ -81,15 +84,19 @@ def gather_params(scene, mat_id, uv=None, p=None) -> BsdfParams:
             ro_t >= 0,
             texlib.eval_texture(scene.textures, ro_t, uv, p)[..., 0], rough)
     remap = g(scene.mat_remap) > 0.5
+    kind = g(scene.mat_kind)
     alpha = jnp.where(remap, roughness_to_alpha(rough),
                       jnp.maximum(rough, 1e-3))
+    # disney's own remap (ref: disney.cpp: microRough = sqr(rough))
+    alpha = jnp.where(kind == MAT_DISNEY,
+                      jnp.maximum(rough * rough, 1e-3), alpha)
     return BsdfParams(
-        kind=g(scene.mat_kind),
+        kind=kind,
         kd=kd, ks=ks,
         kr=g(scene.mat_kr), kt=g(scene.mat_kt),
         alpha=alpha, eta=g(scene.mat_eta),
         metal_eta=g(scene.mat_metal_eta), metal_k=g(scene.mat_metal_k),
-        sigma=sigma,
+        sigma=sigma, aux=g(scene.mat_aux),
     )
 
 
@@ -188,6 +195,25 @@ def tr_pdf(wo, wh, alpha):
     return tr_d(wh, alpha) * jnp.abs(wh[..., 2])
 
 
+def gtr1_d(wh, a):
+    """Berry/GTR1 clearcoat distribution (ref: disney.cpp GTR1)."""
+    a2 = a * a
+    c2 = _cos2(wh)
+    denom = jnp.pi * jnp.log(jnp.maximum(a2, 1e-6)) * (1.0 + (a2 - 1.0) * c2)
+    return (a2 - 1.0) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+
+
+def _smith_g_ggx(cos_t, a):
+    """(ref: disney.cpp smithG_GGX)."""
+    c2 = cos_t * cos_t
+    a2 = a * a
+    return 1.0 / jnp.maximum(cos_t + jnp.sqrt(a2 + c2 - a2 * c2), 1e-7)
+
+
+def _schlick_weight(c):
+    return jnp.power(jnp.clip(1.0 - c, 0.0, 1.0), 5.0)
+
+
 # ---------------------------------------------------------------------------
 # Lobe presence weights per material kind
 # ---------------------------------------------------------------------------
@@ -211,6 +237,18 @@ def _lobe_weights(p: BsdfParams):
     w_r = jnp.where((k == MAT_MIRROR) | (k == MAT_UBER), _lum(p.kr), 0.0)
     w_r = jnp.where(k == MAT_GLASS, _lum(p.kr), w_r)
     w_t = jnp.where(k == MAT_GLASS, _lum(p.kt), 0.0)
+    # disney: diffuse gated by (1-metallic)(1-specTrans); glossy always
+    # present (metal blend + clearcoat); specTrans adds delta transmission
+    # (ref: disney.cpp DisneyMaterial::ComputeScatteringFunctions)
+    is_dis = k == MAT_DISNEY
+    metallic = p.aux[..., 0]
+    spec_trans = p.aux[..., 6]
+    w_d = jnp.where(is_dis,
+                    (1.0 - metallic) * (1.0 - spec_trans) * _lum(p.kd), w_d)
+    w_g = jnp.where(is_dis,
+                    0.25 * p.aux[..., 4] + jnp.maximum(
+                        metallic * _lum(p.kd), 0.08), w_g)
+    w_t = jnp.where(is_dis, spec_trans * (1.0 - metallic), w_t)
     w = jnp.stack([w_d, w_g, w_r, w_t], axis=-1)
     tot = jnp.sum(w, axis=-1, keepdims=True)
     # default to diffuse when nothing present (black body)
@@ -282,6 +320,48 @@ def evaluate(p: BsdfParams, wo, wi):
         * schlick_fresnel(p.ks, vm.dot(wi, wh))
     f_diff = jnp.where(is_substrate[..., None], fb_diff, f_diff)
     f_gloss = jnp.where(is_substrate[..., None], fb_spec, f_gloss)
+
+    # ---- disney principled lobes (ref: materials/disney.cpp:
+    # DisneyDiffuse::f, DisneyRetro::f, DisneySheen::f, DisneyFresnel,
+    # DisneyClearcoat::f) ----
+    is_dis = p.kind == MAT_DISNEY
+    metallic = p.aux[..., 0]
+    spec_tint = p.aux[..., 1]
+    sheen_amt = p.aux[..., 2]
+    sheen_tint = p.aux[..., 3]
+    clearcoat = p.aux[..., 4]
+    cc_gloss = p.aux[..., 5]
+    spec_trans = p.aux[..., 6]
+    cos_d = jnp.abs(vm.dot(wi, wh))        # half-vector cosine theta_d
+    FL = _schlick_weight(cos_i)
+    FV = _schlick_weight(cos_o)
+    rough_dis = jnp.sqrt(jnp.maximum(p.alpha, 1e-6))  # alpha = rough^2
+    base_diff = p.kd * (INV_PI * (1.0 - 0.5 * FL)
+                        * (1.0 - 0.5 * FV))[..., None]
+    RR = 2.0 * rough_dis * cos_d * cos_d
+    retro = p.kd * (INV_PI * RR * (FL + FV + FL * FV * (RR - 1.0)))[..., None]
+    ctint = p.kd / jnp.maximum(_lum(p.kd), 1e-4)[..., None]
+    white = jnp.ones_like(p.kd)
+    csheen = vm.lerp(sheen_tint[..., None], white, ctint)
+    f_sheen = (sheen_amt * _schlick_weight(cos_d))[..., None] * csheen
+    # diffuse+retro scale by (1-metallic)(1-specTrans); sheen by
+    # (1-metallic) (ref: disney.cpp diffuseWeight / sheenWeight)
+    dif_w = ((1.0 - metallic) * (1.0 - spec_trans))[..., None]
+    f_diff_dis = dif_w * (base_diff + retro) \
+        + (1.0 - metallic)[..., None] * f_sheen
+    r0 = ((p.eta - 1.0) / jnp.maximum(p.eta + 1.0, 1e-6)) ** 2
+    cspec0 = vm.lerp(metallic[..., None],
+                     r0[..., None] * vm.lerp(spec_tint[..., None], white,
+                                             ctint), p.kd)
+    F_dis = cspec0 + _schlick_weight(cos_d)[..., None] * (1.0 - cspec0)
+    f_spec_dis = (d * g / denom)[..., None] * F_dis
+    a_cc = vm.lerp(cc_gloss, 0.1, 0.001)
+    d_cc = gtr1_d(wh, a_cc)
+    g_cc = _smith_g_ggx(cos_i, 0.25) * _smith_g_ggx(cos_o, 0.25)
+    f_cc_s = 0.04 + 0.96 * _schlick_weight(cos_d)
+    f_cc = (0.25 * clearcoat * d_cc * g_cc * f_cc_s)[..., None] * white
+    f_diff = jnp.where(is_dis[..., None], f_diff_dis, f_diff)
+    f_gloss = jnp.where(is_dis[..., None], f_spec_dis + f_cc, f_gloss)
     pdf_gloss = tr_pdf(wo, wh, p.alpha) / (
         4.0 * jnp.maximum(jnp.abs(vm.dot(wo, wh)), 1e-7))
     pdf_gloss = jnp.where(wh_len > 1e-9, pdf_gloss, 0.0)
@@ -343,11 +423,18 @@ def sample(p: BsdfParams, wo, u_lobe, u2) -> BsdfSample:
     wi_t, t_ok = vm.refract(wo, n_face, eta_rel)
 
     is_glass = p.kind == MAT_GLASS
-    # glass: choose reflect vs transmit by true Fresnel (overrides the
-    # luminance lobe choice between lobes 2/3, matching FresnelSpecular)
+    is_dis_t = (p.kind == MAT_DISNEY) & (lobe == 3)
+    # glass (and disney specTrans once its lobe is picked): choose reflect
+    # vs transmit by true Fresnel (matching FresnelSpecular); for disney
+    # the lobe-choice uniform is rescaled to its conditional range
     fr_g = fr_dielectric(wo[..., 2], jnp.ones_like(p.eta), p.eta)
-    glass_pick_refl = u_lobe < fr_g
-    lobe = jnp.where(is_glass, jnp.where(glass_pick_refl, 2, 3), lobe)
+    cdf2 = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)
+    w_lobe3 = jnp.maximum(w[..., 3], 1e-9)
+    u_cond = jnp.clip((u_lobe - cdf2[..., 3]) / w_lobe3, 0.0, 1.0)
+    u_fres = jnp.where(is_glass, u_lobe, u_cond)
+    glass_like = is_glass | is_dis_t
+    glass_pick_refl = u_fres < fr_g
+    lobe = jnp.where(glass_like, jnp.where(glass_pick_refl, 2, 3), lobe)
 
     wi = jnp.where(
         (lobe == 0)[..., None], wi_d,

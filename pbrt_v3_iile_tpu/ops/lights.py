@@ -30,6 +30,9 @@ class LightSample(NamedTuple):
     pdf: jnp.ndarray       # (N,) solid-angle pdf (w.r.t. chosen light)
     dist: jnp.ndarray      # (N,) distance to light point (shadow ray tmax)
     is_delta: jnp.ndarray  # (N,) delta light (no MIS vs bsdf)
+    n_l: jnp.ndarray       # (N,3) normal at the sampled light point
+                           # (= -wi for point-like/distant/infinite) — used
+                           # by BDPT junction pdfs
 
 
 def choose_light(scene, u):
@@ -187,7 +190,11 @@ def sample_li(scene, light_id, p_ref, u3) -> LightSample:
     dist = sel((is_ptlike, dist_p), (is_dist | is_inf, dist_i),
                (is_tri, dist_t), (is_sph, ds), default=dist_i)
     is_delta = is_ptlike | is_dist
-    return LightSample(wi=wi, li=li, pdf=pdf, dist=dist, is_delta=is_delta)
+    # normal at the sampled light point (for BDPT junction pdfs)
+    n_sph_pt = vm.normalize(p_ref + ds[:, None] * wi_s - c)
+    n_light = sel((is_tri, n_l), (is_sph, n_sph_pt), default=-wi)
+    return LightSample(wi=wi, li=li, pdf=pdf, dist=dist, is_delta=is_delta,
+                       n_l=n_light)
 
 
 def pdf_li(scene, light_id, p_ref, wi, hit_t, hit_cos):

@@ -82,6 +82,9 @@ class MaterialRecord:
     sigma_tex: str = ""
     rough_tex: str = ""
     bump_tex: str = ""
+    # disney extras [metallic, specTint, sheen, sheenTint, clearcoat,
+    # clearcoatGloss, specTrans, flatness] (ref: materials/disney.cpp)
+    aux: np.ndarray = None
 
 
 @dataclasses.dataclass
@@ -424,8 +427,8 @@ class Api:
     def _make_material(self, kind: str, ps: ParamSet) -> int:
         m = MaterialRecord()
         m.kind = MATERIAL_IDS.get(kind, MAT_MATTE)
-        if m.kind in (MAT_DISNEY, MAT_FOURIER):
-            m.kind = MAT_MATTE  # graceful degradation until implemented
+        if m.kind == MAT_FOURIER:
+            m.kind = MAT_MATTE  # graceful degradation (needs .bsdf tables)
         # defaults follow the Create*Material factories (src/materials/*.cpp)
         if kind == "matte":
             m.kd = ps.find_one_rgb("Kd", [0.5, 0.5, 0.5])
@@ -470,6 +473,23 @@ class Api:
             m.kr = ps.find_one_rgb("reflect", [0.5, 0.5, 0.5])
             m.kt = ps.find_one_rgb("transmit", [0.5, 0.5, 0.5])
             m.roughness = ps.find_one_float("roughness", 0.1)
+        elif kind == "disney":
+            # (ref: materials/disney.cpp CreateDisneyMaterial defaults)
+            m.kd = ps.find_one_rgb("color", [0.5, 0.5, 0.5])
+            m.roughness = ps.find_one_float("roughness", 0.5)
+            m.eta = ps.find_one_float("eta", 1.5)
+            m.remap_roughness = False  # disney remaps rough->alpha itself
+            m.aux = np.array([
+                ps.find_one_float("metallic", 0.0),
+                ps.find_one_float("speculartint", 0.0),
+                ps.find_one_float("sheen", 0.0),
+                ps.find_one_float("sheentint", 0.5),
+                ps.find_one_float("clearcoat", 0.0),
+                ps.find_one_float("clearcoatgloss", 1.0),
+                ps.find_one_float("spectrans", 0.0),
+                ps.find_one_float("flatness", 0.0),
+            ], np.float32)
+            m.kt = np.sqrt(np.maximum(m.kd, 0.0))  # transmission tint
         elif kind in ("none", ""):
             pass
         else:

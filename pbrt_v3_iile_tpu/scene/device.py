@@ -67,6 +67,7 @@ class DeviceScene(NamedTuple):
     mat_metal_k: jnp.ndarray    # (M,3)
     mat_sigma: jnp.ndarray
     mat_remap: jnp.ndarray   # (M,) bool-ish f32
+    mat_aux: jnp.ndarray     # (M,8) disney extras (api.MaterialRecord.aux)
     mat_kd_tex: jnp.ndarray  # (M,) i32 texture id or -1
     mat_ks_tex: jnp.ndarray
     mat_sigma_tex: jnp.ndarray
@@ -195,6 +196,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     eta = np.full(M, 1.5, np.float32)
     sigma = np.zeros(M, np.float32)
     remap = np.ones(M, np.float32)
+    mat_aux = np.zeros((M, 8), np.float32)
     tex_table, tex_ids = texlib.build_table(sd.textures)
     kd_tex = np.full(M, -1, np.int32)
     ks_tex = np.full(M, -1, np.int32)
@@ -224,6 +226,8 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         eta[i] = m.eta
         sigma[i] = m.sigma
         remap[i] = 1.0 if m.remap_roughness else 0.0
+        if m.aux is not None:
+            mat_aux[i] = m.aux
 
     # ---- light-triangle table ----
     ltp, lte1, lte2, ltng, ltarea, ltlight = [], [], [], [], [], []
@@ -473,6 +477,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         mat_kt=f32(kt), mat_rough=f32(rough), mat_urough=f32(uro),
         mat_vrough=f32(vro), mat_eta=f32(eta), mat_metal_eta=f32(meta),
         mat_metal_k=f32(mk_k), mat_sigma=f32(sigma), mat_remap=f32(remap),
+        mat_aux=f32(mat_aux),
         mat_kd_tex=i32(kd_tex), mat_ks_tex=i32(ks_tex),
         mat_sigma_tex=i32(sg_tex), mat_rough_tex=i32(ro_tex),
         textures=tex_table,
