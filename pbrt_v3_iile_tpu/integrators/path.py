@@ -47,6 +47,12 @@ class PathConfig(NamedTuple):
     volumetric: bool = False          # homogeneous media transport
                                       # (ref: src/integrators/volpath.cpp +
                                       #  media/homogeneous.cpp)
+    grid_media: bool = False          # heterogeneous grid-density media:
+                                      # delta-tracked distance sampling +
+                                      # ratio-tracked shadow transmittance
+                                      # (ref: src/media/grid.cpp
+                                      #  GridDensityMedium::Sample/Tr)
+    track_steps: int = 64             # max null-collision steps per segment
     differentiable: bool = False      # detached-sampling gradient mode:
                                       # freeze path geometry + sampling
                                       # decisions, differentiate shading
@@ -83,6 +89,40 @@ def _hg_sample(d_prop, g, u2):
     wi = (sin_t * jnp.cos(phi))[:, None] * t1 \
         + (sin_t * jnp.sin(phi))[:, None] * t2 + cos_t[:, None] * fwd
     return wi, _hg_p(-cos_t, g)
+
+
+def _grid_density(scene, med_id, p_world):
+    """Trilinear grid density at world points (ref: media/grid.cpp
+    GridDensityMedium::Density + ::D — medium space is the unit cube,
+    sample coords p*(nx,ny,nz)-0.5, zero outside the grid)."""
+    w2m = jnp.take(scene.med_w2m, med_id, axis=0)            # (N,4,4)
+    G = scene.med_density.shape[0]
+    gid = jnp.clip(jnp.take(scene.med_grid_id, med_id), 0, G - 1)
+    dims = jnp.take(scene.med_grid_dims, gid, axis=0)        # (N,3) nx,ny,nz
+    pm = jnp.einsum("nij,nj->ni", w2m[:, :3, :3], p_world) + w2m[:, :3, 3]
+    pg = pm * dims.astype(jnp.float32) - 0.5
+    pi = jnp.floor(pg)
+    f = pg - pi
+    pi = pi.astype(jnp.int32)
+    dz, dy, dx = scene.med_density.shape[1:]
+
+    def d_at(ox, oy, oz):
+        ix, iy, iz = pi[:, 0] + ox, pi[:, 1] + oy, pi[:, 2] + oz
+        inb = ((ix >= 0) & (ix < dims[:, 0]) &
+               (iy >= 0) & (iy < dims[:, 1]) &
+               (iz >= 0) & (iz < dims[:, 2]))
+        flat = ((gid * dz + jnp.clip(iz, 0, dz - 1)) * dy
+                + jnp.clip(iy, 0, dy - 1)) * dx + jnp.clip(ix, 0, dx - 1)
+        v = jnp.take(scene.med_density.reshape(-1), flat)
+        return jnp.where(inb, v, 0.0)
+
+    d00 = d_at(0, 0, 0) * (1 - f[:, 0]) + d_at(1, 0, 0) * f[:, 0]
+    d10 = d_at(0, 1, 0) * (1 - f[:, 0]) + d_at(1, 1, 0) * f[:, 0]
+    d01 = d_at(0, 0, 1) * (1 - f[:, 0]) + d_at(1, 0, 1) * f[:, 0]
+    d11 = d_at(0, 1, 1) * (1 - f[:, 0]) + d_at(1, 1, 1) * f[:, 0]
+    d0 = d00 * (1 - f[:, 1]) + d10 * f[:, 1]
+    d1 = d01 * (1 - f[:, 1]) + d11 * f[:, 1]
+    return d0 * (1 - f[:, 2]) + d1 * f[:, 2]
 
 
 def _mis_or_one(use_mis, prev_pdf, light_pdf):
@@ -227,6 +267,47 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                 scatter[:, None], tr * sig_s / jnp.maximum(
                     pdf_med, 1e-20)[:, None],
                 tr / jnp.maximum(pdf_surf, 1e-20)[:, None])
+            if cfg.grid_media:
+                # delta tracking for grid-density media (ref: grid.cpp
+                # GridDensityMedium::Sample): step by exponential jumps
+                # under the majorant max_density*sigma_t, accept a real
+                # collision with prob density/max_density.  Fixed
+                # track_steps bound; unresolved rays pass to the surface
+                # (weight 1) — unbiased analog estimator otherwise.
+                is_grid = jnp.take(scene.med_grid_id, medc) >= 0
+                sig_t0 = sig_t[:, 0]
+                maxd = jnp.take(scene.med_max_density, medc)
+                inv_maj = 1.0 / jnp.maximum(maxd * sig_t0, 1e-20)
+                inv_maxd = 1.0 / jnp.maximum(maxd, 1e-20)
+                k_dt = smplr.wave_key(key, 0, bounce,
+                                      smplr.DIM_MEDIUM_TRACK)
+                track = in_med & is_grid & (sig_t0 > 0.0)
+
+                def dt_body(i, st):
+                    t, done, scat_g = st
+                    u = smplr.uniform(jax.random.fold_in(k_dt, i), (N, 2))
+                    t_c = t - jnp.log(
+                        jnp.maximum(1.0 - u[:, 0], 1e-9)) * inv_maj
+                    reach = t_c >= t_surf
+                    dens = _grid_density(scene, medc,
+                                         o + t_c[:, None] * d)
+                    real = (~done) & track & (~reach) & \
+                        (dens * inv_maxd > u[:, 1])
+                    t = jnp.where(done, t, t_c)
+                    scat_g = scat_g | real
+                    done = done | reach | real
+                    return t, done, scat_g
+
+                t_g, _, scat_g = jax.lax.fori_loop(
+                    0, cfg.track_steps, dt_body,
+                    (jnp.zeros(N), ~track, jnp.zeros(N, bool)))
+                w_grid = jnp.where(
+                    scat_g[:, None],
+                    sig_s / jnp.maximum(sig_t, 1e-20), 1.0)
+                scatter = jnp.where(is_grid, scat_g, scatter)
+                t_eff = jnp.where(is_grid,
+                                  jnp.minimum(t_g, t_surf), t_eff)
+                w_med = jnp.where(is_grid[:, None], w_grid, w_med)
             beta = jnp.where(in_med[:, None], beta * w_med, beta)
             p_med = o + t_eff[:, None] * d
             # scattered rays did not reach the surface this segment
@@ -344,8 +425,42 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                 medc2 = jnp.clip(med, 0, scene.med_sigma_a.shape[0] - 1)
                 sig_t2 = (jnp.take(scene.med_sigma_a, medc2, axis=0)
                           + jnp.take(scene.med_sigma_s, medc2, axis=0))
-                tr_sh = jnp.exp(-sig_t2 * jnp.minimum(
-                    ls.dist, 4.0 * scene.world_radius)[:, None])
+                d_sh = jnp.minimum(ls.dist, 4.0 * scene.world_radius)
+                tr_sh = jnp.exp(-sig_t2 * d_sh[:, None])
+                if cfg.grid_media:
+                    # ratio tracking (ref: grid.cpp GridDensityMedium::Tr)
+                    is_grid2 = jnp.take(scene.med_grid_id, medc2) >= 0
+                    sig_t20 = sig_t2[:, 0]
+                    maxd2 = jnp.take(scene.med_max_density, medc2)
+                    inv_maj2 = 1.0 / jnp.maximum(maxd2 * sig_t20, 1e-20)
+                    inv_maxd2 = 1.0 / jnp.maximum(maxd2, 1e-20)
+                    k_rt = smplr.wave_key(key, 0, bounce,
+                                          smplr.DIM_MEDIUM_TR)
+                    need = can_nee & (med >= 0) & is_grid2 & \
+                        (sig_t20 > 0.0)
+
+                    def rt_body(i, st):
+                        t, trv, done = st
+                        u = smplr.uniform(
+                            jax.random.fold_in(k_rt, i), (N, 2))
+                        t = jnp.where(
+                            done, t,
+                            t - jnp.log(jnp.maximum(1.0 - u[:, 0],
+                                                    1e-9)) * inv_maj2)
+                        reach = t >= d_sh
+                        dens = _grid_density(
+                            scene, medc2, o_sh + t[:, None] * ls.wi)
+                        trv = jnp.where(
+                            (~done) & (~reach),
+                            trv * jnp.clip(1.0 - dens * inv_maxd2,
+                                           0.0, 1.0), trv)
+                        return t, trv, done | reach
+
+                    _, tr_g, _ = jax.lax.fori_loop(
+                        0, cfg.track_steps, rt_body,
+                        (jnp.zeros(N), jnp.ones(N), ~need))
+                    tr_sh = jnp.where(is_grid2[:, None],
+                                      tr_g[:, None], tr_sh)
                 li = jnp.where((med >= 0)[:, None], li * tr_sh, li)
             contrib = beta * f_l * li * (cos_l * w_l / jnp.maximum(
                 ls.pdf * sel_pdf, 1e-12))[:, None]

@@ -29,7 +29,9 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
         import jax
         use_pallas = jax.default_backend() not in ("cpu",)
     kind = sd.integrator.kind
-    has_media = len(getattr(sd, "media", [])) > 0
+    media = getattr(sd, "media", [])
+    has_media = len(media) > 0
+    has_grid = any(getattr(m, "density", None) is not None for m in media)
     if kind in ("path", "volpath", "bdpt", "mlt", "sppm", "iispt"):
         # bdpt/mlt/sppm have their own drivers (integrators/bdpt.py,
         # mlt.py, sppm.py); this config carries the shared knobs
@@ -37,6 +39,7 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
             max_depth=sd.integrator.max_depth,
             rr_threshold=sd.integrator.rr_threshold,
             volumetric=(kind == "volpath" or has_media),
+            grid_media=has_grid,
             use_pallas=use_pallas, staged=use_pallas,
         )
     if kind == "directlighting":

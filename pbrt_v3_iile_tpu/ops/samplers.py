@@ -21,6 +21,8 @@ DIM_BSDF_DIR = 5
 DIM_RR = 6
 DIM_HEMI = 7
 DIM_PROBE = 8
+DIM_MEDIUM_TRACK = 9   # grid-media delta tracking steps
+DIM_MEDIUM_TR = 10     # grid-media shadow ratio tracking steps
 
 
 def wave_key(base_key, pass_idx, bounce, purpose):

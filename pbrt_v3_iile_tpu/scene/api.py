@@ -108,11 +108,15 @@ class LightRecord:
 
 @dataclasses.dataclass
 class MediumRecord:
-    """Homogeneous participating medium (ref: src/media/homogeneous.cpp
-    HomogeneousMedium; grid media degrade to their average density)."""
+    """Participating medium.  Homogeneous (ref: src/media/homogeneous.cpp
+    HomogeneousMedium) or heterogeneous grid-density (ref:
+    src/media/grid.cpp GridDensityMedium: trilinear density on a
+    (nx,ny,nz) grid over the medium-space unit cube, delta-tracked)."""
     sigma_a: np.ndarray = None
     sigma_s: np.ndarray = None
     g: float = 0.0
+    density: np.ndarray = None      # (nz,ny,nx) f32 or None (homogeneous)
+    w2m: np.ndarray = None          # (4,4) world->medium (unit cube) xform
 
 
 @dataclasses.dataclass
@@ -373,13 +377,39 @@ class Api:
 
     def MakeNamedMedium(self, name, ps: ParamSet):
         """(ref: api.cpp pbrtMakeNamedMedium + media/homogeneous.cpp
-        defaults sigma_a=1, sigma_s=1 scaled by 'scale')."""
+        defaults sigma_a=1, sigma_s=1 scaled by 'scale'; heterogeneous:
+        media/grid.cpp GridDensityMedium + api.cpp MakeMedium p0/p1
+        medium-space box under the CTM)."""
         sc = ps.find_one_float("scale", 1.0)
         rec = MediumRecord(
             sigma_a=ps.find_one_rgb("sigma_a", [1, 1, 1]) * sc,
             sigma_s=ps.find_one_rgb("sigma_s", [1, 1, 1]) * sc,
             g=ps.find_one_float("g", 0.0),
         )
+        kind = ps.find_one_string("type", "homogeneous")
+        if kind == "heterogeneous":
+            nx = ps.find_one_int("nx", 1)
+            ny = ps.find_one_int("ny", 1)
+            nz = ps.find_one_int("nz", 1)
+            dvals = ps.find_floats("density")
+            dens = (np.asarray(dvals, np.float32) if dvals is not None
+                    else np.ones(nx * ny * nz, np.float32))
+            if dens.size != nx * ny * nz:
+                import sys
+                print(f"warning: medium '{name}': {dens.size} density "
+                      f"values for {nx}x{ny}x{nz} grid; padding/truncating",
+                      file=sys.stderr)
+                dens = np.resize(dens, nx * ny * nz)
+            # pbrt layout: density[(z*ny + y)*nx + x]
+            rec.density = dens.reshape(nz, ny, nx)
+            p0s, p1s = ps.find_points("p0"), ps.find_points("p1")
+            p0 = np.asarray(p0s[0] if p0s is not None else [0, 0, 0],
+                            np.float32)
+            p1 = np.asarray(p1s[0] if p1s is not None else [1, 1, 1],
+                            np.float32)
+            ext = np.maximum(p1 - p0, 1e-9)
+            m2w = self.ctm @ xf.translate(*p0) @ xf.scale(*ext)
+            rec.w2m = xf.inverse(m2w)
         self.scene.media.append(rec)
         self.scene.named_media[name] = len(self.scene.media) - 1
 

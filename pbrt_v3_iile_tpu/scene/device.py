@@ -103,10 +103,15 @@ class DeviceScene(NamedTuple):
     ltri_area: jnp.ndarray   # (K,)
     ltri_cdf: jnp.ndarray    # (K,) per-light-normalized cumulative area
     ltri_light: jnp.ndarray  # (K,) i32 owning light
-    # --- media (homogeneous) ---
+    # --- media (homogeneous + grid-density heterogeneous) ---
     med_sigma_a: jnp.ndarray   # (D,3)
     med_sigma_s: jnp.ndarray   # (D,3)
     med_g: jnp.ndarray         # (D,)
+    med_grid_id: jnp.ndarray   # (D,) i32 index into med_density or -1
+    med_w2m: jnp.ndarray       # (D,4,4) world->medium (unit cube) xform
+    med_density: jnp.ndarray   # (G,DZ,DY,DX) padded density grids
+    med_grid_dims: jnp.ndarray  # (G,3) i32 actual (nx,ny,nz) per grid
+    med_max_density: jnp.ndarray  # (D,) max grid density (1 for homog.)
     tri_med_in: jnp.ndarray    # (T,) i32 interior medium id or -1
     tri_med_out: jnp.ndarray   # (T,) i32 exterior medium id or -1
     camera_medium: jnp.ndarray  # () i32
@@ -379,10 +384,32 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     med_a = np.zeros((D, 3), np.float32)
     med_s = np.zeros((D, 3), np.float32)
     med_g = np.zeros(D, np.float32)
+    med_gid = np.full(D, -1, np.int32)
+    med_w2m = np.tile(np.eye(4, dtype=np.float32), (D, 1, 1))
+    med_maxd = np.ones(D, np.float32)
+    grids = []
     for i, mrec in enumerate(sd.media):
         med_a[i] = mrec.sigma_a
         med_s[i] = mrec.sigma_s
         med_g[i] = mrec.g
+        if getattr(mrec, "density", None) is not None:
+            med_gid[i] = len(grids)
+            grids.append(np.asarray(mrec.density, np.float32))
+            med_w2m[i] = np.asarray(mrec.w2m, np.float32)
+            med_maxd[i] = max(float(mrec.density.max()), 1e-9)
+    # pad grids to a common (DZ,DY,DX) so they stack into one array
+    if grids:
+        dz = max(g.shape[0] for g in grids)
+        dy = max(g.shape[1] for g in grids)
+        dx = max(g.shape[2] for g in grids)
+        med_dens = np.zeros((len(grids), dz, dy, dx), np.float32)
+        med_dims = np.zeros((len(grids), 3), np.int32)
+        for gi, g in enumerate(grids):
+            med_dens[gi, :g.shape[0], :g.shape[1], :g.shape[2]] = g
+            med_dims[gi] = [g.shape[2], g.shape[1], g.shape[0]]  # nx,ny,nz
+    else:
+        med_dens = np.ones((1, 1, 1, 1), np.float32)
+        med_dims = np.ones((1, 3), np.int32)
 
     # ---- environment map ----
     env = _build_env_map(sd)
@@ -494,6 +521,9 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         ltri_ng=f32(ltri_ng), ltri_area=f32(ltri_area),
         ltri_cdf=f32(ltri_cdf), ltri_light=i32(ltri_light),
         med_sigma_a=f32(med_a), med_sigma_s=f32(med_s), med_g=f32(med_g),
+        med_grid_id=i32(med_gid), med_w2m=f32(med_w2m),
+        med_density=f32(med_dens), med_grid_dims=i32(med_dims),
+        med_max_density=f32(med_maxd),
         tri_med_in=i32(m_in), tri_med_out=i32(m_out),
         camera_medium=i32(sd.camera_medium), n_media=i32(len(sd.media)),
         env_img=f32(env["img"]), env_marg_cdf=f32(env["marg"]),

@@ -67,3 +67,57 @@ def test_beer_lambert_attenuation():
     # small fov -> all rays ~ distance 4; channel-mixed estimator noise
     # at 32 spp x 256 px is ~1%
     assert np.allclose(got, want, rtol=0.06), (got, want)
+
+
+GRID_ABSORB_SCENE = """
+LookAt 0 0 0  0 0 1  0 1 0
+Camera "perspective" "float fov" [20]
+Film "image" "integer xresolution" [16] "integer yresolution" [16]
+Integrator "volpath" "integer maxdepth" [4]
+MakeNamedMedium "smoke" "string type" "heterogeneous"
+  "color sigma_a" [0.5 0.5 0.5] "color sigma_s" [0 0 0]
+  "integer nx" [2] "integer ny" [2] "integer nz" [2]
+  "float density" [1 1 1 1 1 1 1 1]
+  "point p0" [-10 -10 0] "point p1" [10 10 4]
+MediumInterface "" "smoke"
+WorldBegin
+AttributeBegin
+  Material "matte" "color Kd" [0 0 0]
+  AreaLightSource "area" "color L" [5 5 5] "bool twosided" "true"
+  Shape "trianglemesh" "point P" [-9 -9 4 9 -9 4 9 9 4 -9 9 4]
+    "integer indices" [0 1 2 2 3 0]
+AttributeEnd
+WorldEnd
+"""
+
+
+def test_grid_density_lookup():
+    """Trilinear density lookup matches hand values (ref: grid.cpp D)."""
+    from pbrt_v3_iile_tpu.integrators.path import _grid_density
+    from pbrt_v3_iile_tpu.scene import device as devlib
+    sd = apilib.load_scene_string(GRID_ABSORB_SCENE)
+    assert sd.media[0].density is not None
+    scene, _ = renderlib.build(sd, use_native_bvh=False)
+    # grid is constant 1 inside, 0 outside the box [-10,10]x[-10,10]x[0,4]
+    pts = jnp.array([[0.0, 0.0, 2.0],     # deep inside -> 1
+                     [0.0, 0.0, -3.0],    # outside -> 0
+                     [0.0, 0.0, 50.0]])   # outside -> 0
+    mid = jnp.zeros(3, jnp.int32)
+    d = np.asarray(_grid_density(scene, mid, pts))
+    assert abs(d[0] - 1.0) < 1e-5, d
+    assert d[1] == 0.0 and d[2] == 0.0, d
+
+
+@pytest.mark.slow
+def test_grid_beer_lambert_attenuation():
+    """Emissive wall at distance 4 through absorbing smoke (density 1,
+    sigma_a 0.5).  pbrt's trilinear D() ramps to zero over the half-voxel
+    at each grid face (grid.cpp), so with nz=2 over world z in [0,4] the
+    density profile is 0.5->1 (z<1), 1 (1..3), 1->0.5 (z>3): optical
+    depth = 0.5 * 3.5 = 1.75, L = 5*exp(-1.75) (delta tracking is
+    unbiased)."""
+    sd = apilib.load_scene_string(GRID_ABSORB_SCENE)
+    img, _ = renderlib.render(sd, spp=48)
+    got = img.mean(axis=(0, 1))
+    want = 5.0 * np.exp(-1.75)
+    assert np.allclose(got, want, rtol=0.08), (got, want)
