@@ -78,8 +78,11 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
     H, W = sd.film.y_resolution, sd.film.x_resolution
     if cfg is None:
         cfg = make_integrator_config(sd)
-    has_lens = sd.camera.lens_radius > 0.0
     cam_kind = camlib.KIND.get(sd.camera.kind, 0)
+    is_realistic = cam_kind == 3 and bool(sd.camera.lens_file)
+    if cam_kind == 3 and not sd.camera.lens_file:
+        cam_kind = 0  # realistic without a lensfile: perspective fallback
+    has_lens = sd.camera.lens_radius > 0.0 or is_realistic
     CH = chunk_rows if chunk_rows > 0 else H
 
     @jax.jit
@@ -100,25 +103,35 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
         if has_lens:
             kl = smplr.wave_key(k, 0, 0, smplr.DIM_LENS)
             u_lens = smplr.uniform(kl, (CH * W, 2))
-        o, d = camlib.generate_rays(cam, p_film, u_lens, kind=cam_kind)
-        return o, d, jitter, k
+        if is_realistic:
+            o, d, w = camlib.realistic_generate_rays(cam, p_film, u_lens)
+        else:
+            o, d = camlib.generate_rays(cam, p_film, u_lens, kind=cam_kind)
+            w = jnp.ones(CH * W, jnp.float32)
+        return o, d, w, jitter, k
 
     def run(scene, cam, key, pass_idx, row0=0):
-        o, d, jitter, k = prep(cam, key, jnp.int32(pass_idx),
-                               jnp.int32(row0))
+        o, d, w, jitter, k = prep(cam, key, jnp.int32(pass_idx),
+                                  jnp.int32(row0))
         if sd.integrator.kind == "ambientocclusion":
             from . import ao as aolib
             L = aolib.trace_ao(scene, o, d, k,
                                cos_sample=sd.integrator.cos_sample,
                                use_pallas=cfg.use_pallas)
+            if is_realistic:
+                L = L * w[:, None]
             aux = {"rays": jnp.int32(2 * CH * W)}
         elif sd.integrator.kind == "bdpt":
             from . import bdpt as bdptlib
             L, aux = bdptlib.trace_bdpt(scene, o, d, k,
                                         max_depth=sd.integrator.max_depth,
                                         use_pallas=cfg.use_pallas)
+            if is_realistic:
+                L = L * w[:, None]
         else:
-            L, aux = pathlib_.trace_paths(scene, o, d, k, cfg)
+            beta0 = (jnp.broadcast_to(w[:, None], (CH * W, 3))
+                     if is_realistic else None)
+            L, aux = pathlib_.trace_paths(scene, o, d, k, cfg, beta0=beta0)
         return (L.reshape(CH, W, 3), jitter.reshape(CH, W, 2), aux["rays"])
 
     return run

@@ -28,14 +28,242 @@ class Camera(NamedTuple):
     lens_radius: jnp.ndarray     # ()
     focal_distance: jnp.ndarray  # ()
     resolution: jnp.ndarray      # (2,) i32 (x, y)
+    # realistic lens system (E=0 for other camera kinds)
+    # (ref: src/cameras/realistic.cpp LensElementInterface)
+    lens_curv: jnp.ndarray = jnp.zeros(0)    # (E,) curvature radius (m)
+    lens_thick: jnp.ndarray = jnp.zeros(0)   # (E,) vertex->next distance
+    lens_eta: jnp.ndarray = jnp.zeros(0)     # (E,) index of refraction
+    lens_ap: jnp.ndarray = jnp.zeros(0)      # (E,) aperture radius (m)
+    film_half: jnp.ndarray = jnp.zeros(2)    # (2,) physical half extent
 
 
-KIND = {"perspective": 0, "orthographic": 1, "environment": 2}
+KIND = {"perspective": 0, "orthographic": 1, "environment": 2,
+        "realistic": 3}
+
+
+def load_lens_file(path: str):
+    """Parse a pbrt lens .dat table: rows of (curvature radius, thickness,
+    eta, aperture diameter) in mm, front-to-rear (ref: realistic.cpp:35-49
+    RealisticCamera ctor — values /1000 to meters, aperture /2 to radius).
+    Lines starting with # are comments."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#")[0].strip()
+            if not line:
+                continue
+            vals = [float(v) for v in line.split()]
+            if len(vals) >= 4:
+                rows.append(vals[:4])
+    a = np.asarray(rows, np.float64)
+    return (a[:, 0] * 1e-3, a[:, 1] * 1e-3, a[:, 2], a[:, 3] * 1e-3 / 2.0)
+
+
+def _trace_lens_np(o, d, curv, thick, eta, ap_r, from_scene=False):
+    """Host (numpy, single ray) lens trace in pbrt LENS space (film at
+    z=0, elements at negative z, scene toward -inf), used for focusing
+    (ref: realistic.cpp TraceLensesFromFilm/TraceLensesFromScene,
+    IntersectSphericalElement)."""
+    o = np.asarray(o, np.float64).copy()
+    d = np.asarray(d, np.float64).copy()
+    E = len(curv)
+    # z of vertex of element i (lens space) = -sum(thick[i:])
+    zv = -np.cumsum(thick[::-1])[::-1]
+    order = range(E) if from_scene else range(E - 1, -1, -1)
+    prev_eta = 1.0
+    for i in order:
+        z = zv[i]
+        R = curv[i]
+        if R == 0.0:
+            if abs(d[2]) < 1e-15:
+                return None
+            t = (z - o[2]) / d[2]
+        else:
+            zc = z + R
+            oc = o - np.array([0.0, 0.0, zc])
+            A = d @ d
+            B = 2 * (d @ oc)
+            C = oc @ oc - R * R
+            disc = B * B - 4 * A * C
+            if disc < 0:
+                return None
+            sq = np.sqrt(disc)
+            t0, t1 = (-B - sq) / (2 * A), (-B + sq) / (2 * A)
+            use_closer = (d[2] > 0) != (R < 0)
+            t = min(t0, t1) if use_closer else max(t0, t1)
+        if t < 0:
+            return None
+        p = o + t * d
+        if p[0] ** 2 + p[1] ** 2 > ap_r[i] ** 2:
+            return None
+        o = p
+        if R != 0.0:
+            n = (p - np.array([0.0, 0.0, z + R]))
+            n = n / np.linalg.norm(n)
+            if n @ d > 0:
+                n = -n
+            if from_scene:
+                eta_i = prev_eta
+                eta_t = eta[i] if eta[i] != 0 else 1.0
+                prev_eta = eta_t
+            else:
+                eta_i = eta[i] if eta[i] != 0 else 1.0
+                eta_t = 1.0 if i == 0 else (eta[i - 1]
+                                            if eta[i - 1] != 0 else 1.0)
+            r = eta_i / eta_t
+            wi = -d / np.linalg.norm(d)
+            cos_i = n @ wi
+            sin2_t = r * r * max(0.0, 1.0 - cos_i * cos_i)
+            if sin2_t >= 1.0:
+                return None
+            cos_t = np.sqrt(1.0 - sin2_t)
+            d = r * (-wi) + (r * cos_i - cos_t) * n
+    return o, d
+
+
+def focus_lens(curv, thick, eta, ap_r, focus_distance: float):
+    """Adjust the rear (film-side) thickness so a point at
+    focus_distance images onto the film (ref: realistic.cpp
+    FocusThickLens — here: iterative axial marginal-ray focusing)."""
+    thick = np.asarray(thick, np.float64).copy()
+    for _ in range(4):
+        front_z = -float(np.sum(thick))     # lens space front vertex
+        h = max(ap_r[0] * 0.05, 1e-5)
+        src = np.array([h, 0.0, front_z - min(focus_distance, 1e5)])
+        dvec = np.array([0.0, 0.0, 1.0])    # parallel... no: from point
+        # aim from the axial focus point through the front vertex edge
+        src = np.array([0.0, 0.0, front_z - min(focus_distance, 1e5)])
+        aim = np.array([h, 0.0, front_z])
+        dvec = aim - src
+        dvec = dvec / np.linalg.norm(dvec)
+        res = _trace_lens_np(src, dvec, curv, thick, eta, ap_r,
+                             from_scene=True)
+        if res is None:
+            break
+        o, d = res
+        if abs(d[0]) < 1e-12:
+            break
+        t_cross = -o[0] / d[0]
+        z_f = o[2] + t_cross * d[2]     # axis crossing (want z=0 = film)
+        thick[-1] += z_f                # move lens away/toward the film
+        if abs(z_f) < 1e-7:
+            break
+        thick[-1] = max(thick[-1], 1e-4)
+    return thick
+
+
+def realistic_generate_rays(cam: Camera, p_film: jnp.ndarray,
+                            u_lens: jnp.ndarray):
+    """Trace film->rear-element->scene through the spherical lens stack
+    (ref: realistic.cpp GenerateRay + TraceLensesFromFilm).  Instead of
+    the precomputed exit-pupil tables we sample the full rear aperture
+    and zero out vignetted rays — unbiased, simpler, TPU-friendly (the
+    loop over elements is unrolled; everything stays vectorized).
+    Returns (o_world, d_world, weight)."""
+    N = p_film.shape[0]
+    res = cam.resolution.astype(jnp.float32)
+    E = cam.lens_curv.shape[0]
+    # raster -> physical film point (film at z=0; x mirrored as in
+    # realistic.cpp:634 Point3f pFilm(-pFilm2.x, pFilm2.y, 0))
+    s = p_film / res[None, :]
+    fx = -(2.0 * s[:, 0] - 1.0) * cam.film_half[0]
+    fy = (2.0 * s[:, 1] - 1.0) * cam.film_half[1]
+    # LENS space (as in realistic.cpp CameraToLens = Scale(1,1,-1)):
+    # film at z=0, elements at negative z, scene toward -inf
+    o = jnp.stack([fx, fy, jnp.zeros(N, fx.dtype)], axis=-1)
+    rear_z = -cam.lens_thick[E - 1]
+    rear_r = cam.lens_ap[E - 1]
+    p_disk = rear_r * smp.concentric_sample_disk(u_lens)
+    p_rear = jnp.concatenate(
+        [p_disk, jnp.broadcast_to(rear_z, (N, 1)).astype(p_disk.dtype)],
+        axis=-1)
+    d = vm.normalize(p_rear - o)
+    cos0 = jnp.abs(d[:, 2])
+    ok = jnp.ones(N, bool)
+    # vertex z of element i (lens space) = -sum(thick[i:])
+    zv = -jnp.cumsum(cam.lens_thick[::-1])[::-1]
+    for i in range(E - 1, -1, -1):
+        z = zv[i]
+        R = cam.lens_curv[i]
+        is_stop = R == 0.0
+        dz_safe = jnp.where(jnp.abs(d[:, 2]) < 1e-12, 1e-12, d[:, 2])
+        t_plane = (z - o[:, 2]) / dz_safe
+        zc = z + R
+        oc = o - jnp.array([0.0, 0.0, 1.0]) * zc
+        A = vm.dot(d, d)
+        B = 2.0 * vm.dot(d, oc)
+        C = vm.dot(oc, oc) - R * R
+        disc = B * B - 4.0 * A * C
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (-B - sq) / (2.0 * A)
+        t1 = (-B + sq) / (2.0 * A)
+        use_closer = (d[:, 2] > 0) != (R < 0)
+        t_sph = jnp.where(use_closer, jnp.minimum(t0, t1),
+                          jnp.maximum(t0, t1))
+        sph_ok = (disc >= 0.0) & (t_sph > 0.0)
+        t = jnp.where(is_stop, t_plane, t_sph)
+        ok = ok & jnp.where(is_stop, t_plane > 0.0, sph_ok)
+        p = o + t[:, None] * d
+        ok = ok & (p[:, 0] ** 2 + p[:, 1] ** 2 <= cam.lens_ap[i] ** 2)
+        # refract at curved interfaces (ref: core/reflection.h Refract;
+        # eta pairing as in TraceLensesFromFilm: from element i's glass
+        # into element i-1's, vacuum past the front)
+        n = vm.normalize(p - jnp.array([0.0, 0.0, 1.0]) * zc)
+        n = jnp.where((vm.dot(n, d) > 0.0)[:, None], -n, n)
+        eta_i = jnp.where(cam.lens_eta[i] == 0.0, 1.0, cam.lens_eta[i])
+        if i > 0:
+            eta_t = jnp.where(cam.lens_eta[i - 1] == 0.0, 1.0,
+                              cam.lens_eta[i - 1])
+        else:
+            eta_t = jnp.float32(1.0)
+        r = eta_i / eta_t
+        wi = -vm.normalize(d)
+        cos_i = vm.dot(n, wi)
+        sin2_t = r * r * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
+        tir = sin2_t >= 1.0
+        cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+        d_ref = r * (-wi) + (r * cos_i - cos_t)[:, None] * n
+        ok = ok & (is_stop | ~tir)
+        o = p
+        d = jnp.where(is_stop, d, d_ref)
+    # cos^4 weighting (ref: realistic.cpp:649 simpleWeighting)
+    w = jnp.where(ok, cos0 ** 4, 0.0)
+    # back to camera space (z toward the scene), then to world
+    flip = jnp.array([1.0, 1.0, -1.0])
+    o_w = _apply44_point(cam.cam_to_world, o * flip)
+    d_w = vm.normalize(_apply44_vector(cam.cam_to_world,
+                                       vm.normalize(d * flip)))
+    return o_w, d_w, w
 
 
 def make_camera(desc, film) -> Camera:
     xres, yres = film.x_resolution, film.y_resolution
     aspect = xres / yres
+    if desc.kind == "realistic" and getattr(desc, "lens_file", ""):
+        curv, thick, eta, ap_r = load_lens_file(desc.lens_file)
+        ap_d = getattr(desc, "aperture_diameter", 0.0)
+        if ap_d > 0:
+            # the stop row (curvature 0) is capped by aperturediameter
+            # (ref: realistic.cpp:43-49, diameter given in mm)
+            stop = curv == 0.0
+            ap_r = np.where(stop, np.minimum(ap_r, ap_d * 1e-3 / 2), ap_r)
+        if desc.focal_distance < 1e5:
+            thick = focus_lens(curv, thick, eta, ap_r, desc.focal_distance)
+        diag = getattr(film, "diagonal", 35.0) * 1e-3
+        hx = 0.5 * np.sqrt(diag * diag / (1.0 + (yres / xres) ** 2))
+        hy = hx * yres / xres
+        return Camera(
+            cam_to_world=jnp.asarray(desc.cam_to_world, jnp.float32),
+            raster_to_camera=jnp.eye(4, dtype=jnp.float32),
+            lens_radius=jnp.float32(ap_r[-1]),
+            focal_distance=jnp.float32(desc.focal_distance),
+            resolution=jnp.asarray([xres, yres], jnp.int32),
+            lens_curv=jnp.asarray(curv, jnp.float32),
+            lens_thick=jnp.asarray(thick, jnp.float32),
+            lens_eta=jnp.asarray(eta, jnp.float32),
+            lens_ap=jnp.asarray(ap_r, jnp.float32),
+            film_half=jnp.asarray([hx, hy], jnp.float32),
+        )
     if desc.screen_window is not None:
         x0, x1, y0, y1 = desc.screen_window
     elif aspect > 1.0:

@@ -55,8 +55,16 @@ def sharded_render_pass(sd, mesh, cfg=None):
         k = jax.random.fold_in(key, rows[0])
         kj = smplr.wave_key(k, 0, 0, smplr.DIM_PIXEL_JITTER)
         jitter = smplr.uniform(kj, pix.shape)
-        o, d = camlib.generate_rays(cam, pix + jitter, kind=cam_kind)
-        L, _ = pathlib_.trace_paths(scene, o, d, k, cfg)
+        if cam_kind == 3:  # realistic lens system
+            kl = smplr.wave_key(k, 0, 0, smplr.DIM_LENS)
+            u_lens = smplr.uniform(kl, pix.shape)
+            o, d, w = camlib.realistic_generate_rays(cam, pix + jitter,
+                                                     u_lens)
+            beta0 = jnp.broadcast_to(w[:, None], (w.shape[0], 3))
+        else:
+            o, d = camlib.generate_rays(cam, pix + jitter, kind=cam_kind)
+            beta0 = None
+        L, _ = pathlib_.trace_paths(scene, o, d, k, cfg, beta0=beta0)
         return L.reshape(h_local, W, 3)
 
     def run(scene, cam, key, pass_idx):

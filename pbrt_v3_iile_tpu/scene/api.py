@@ -139,6 +139,8 @@ class CameraDesc:
     screen_window: Optional[np.ndarray] = None
     shutter_open: float = 0.0
     shutter_close: float = 1.0
+    lens_file: str = ""            # realistic camera lens table (.dat)
+    aperture_diameter: float = 1.0  # mm (realistic.cpp:43)
 
 
 @dataclasses.dataclass
@@ -315,6 +317,13 @@ class Api:
         cam.fov = ps.find_one_float("fov", 90.0)
         cam.lens_radius = ps.find_one_float("lensradius", 0.0)
         cam.focal_distance = ps.find_one_float("focaldistance", 1e6)
+        # realistic camera spells it "focusdistance" (realistic.cpp:782)
+        cam.focal_distance = ps.find_one_float("focusdistance",
+                                               cam.focal_distance)
+        # realistic lens-system camera (ref: cameras/realistic.cpp
+        # CreateRealisticCamera: lensfile/aperturediameter in mm)
+        cam.lens_file = ps.find_one_string("lensfile", "")
+        cam.aperture_diameter = ps.find_one_float("aperturediameter", 1.0)
         sw = ps.find_floats("screenwindow")
         if sw is not None and sw.size == 4:
             cam.screen_window = sw
