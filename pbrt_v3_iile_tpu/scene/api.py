@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import sys
 from typing import Optional
 
 import numpy as np
@@ -467,7 +468,29 @@ class Api:
         m = MaterialRecord()
         m.kind = MATERIAL_IDS.get(kind, MAT_MATTE)
         if m.kind == MAT_FOURIER:
-            m.kind = MAT_MATTE  # graceful degradation (needs .bsdf tables)
+            # FourierBSDF (ref: materials/fourier.cpp): load the .bsdf
+            # table and project it onto the wavefront lobe system
+            # (ops/fourierbsdf.py fit_lobes); matte fallback on error
+            m.kind = MAT_MATTE
+            fname = ps.find_one_string("bsdffile", "")
+            try:
+                from ..ops import fourierbsdf as fblib
+                table = fblib.read_bsdf(
+                    fname if os.path.isabs(fname)
+                    else os.path.join(self.base_dir, fname))
+                kd, ks, alpha, eta, resid = fblib.fit_lobes(table)
+                m.kind = MAT_PLASTIC
+                m.kd = np.asarray(kd, np.float32).reshape(3)
+                m.ks = np.asarray(ks, np.float32).reshape(3)
+                m.roughness = float(alpha)
+                m.eta = float(eta)
+                m.remap_roughness = False
+                if resid > 1e-2:
+                    print(f"warning: fourier table {fname}: lobe-fit "
+                          f"residual {resid:.3g}", file=sys.stderr)
+            except Exception as e:
+                print(f"warning: fourier material '{fname}': {e}; "
+                      f"degrading to matte", file=sys.stderr)
         # defaults follow the Create*Material factories (src/materials/*.cpp)
         if kind == "matte":
             m.kd = ps.find_one_rgb("Kd", [0.5, 0.5, 0.5])
@@ -529,11 +552,39 @@ class Api:
                 ps.find_one_float("flatness", 0.0),
             ], np.float32)
             m.kt = np.sqrt(np.maximum(m.kd, 0.0))  # transmission tint
-        elif kind in ("none", ""):
-            pass
+        elif kind == "mix":
+            # MixMaterial (ref: materials/mixmat.cpp): blends two named
+            # materials by 'amount'.  Wavefront re-design: blend in
+            # parameter space (exact when both BSDFs share lobe structure,
+            # an approximation otherwise).
+            amt = np.asarray(ps.find_one_rgb("amount", [0.5, 0.5, 0.5]))
+            n1 = ps.find_one_string("namedmaterial1", "")
+            n2 = ps.find_one_string("namedmaterial2", "")
+            i1 = self.scene.named_materials.get(n1, 0)
+            i2 = self.scene.named_materials.get(n2, 0)
+            m1, m2 = self.scene.materials[i1], self.scene.materials[i2]
+            a = float(np.mean(amt))
+            m.kind = m1.kind if a >= 0.5 else m2.kind
+            for f in ("kd", "ks", "kr", "kt", "metal_eta", "metal_k",
+                      "aux"):
+                v1, v2 = getattr(m1, f, None), getattr(m2, f, None)
+                if v1 is not None and v2 is not None:
+                    setattr(m, f, np.asarray(v1) * a
+                            + np.asarray(v2) * (1.0 - a))
+            for f in ("roughness", "uroughness", "vroughness", "eta",
+                      "sigma"):
+                setattr(m, f, getattr(m1, f) * a
+                        + getattr(m2, f) * (1.0 - a))
+            m.remap_roughness = m1.remap_roughness if a >= 0.5 \
+                else m2.remap_roughness
+        elif kind in ("none", "", "fourier"):
+            pass  # fourier params were fitted above
         else:
             m.kd = ps.find_one_rgb("Kd", [0.5, 0.5, 0.5])
-        m.remap_roughness = ps.find_one_bool("remaproughness", True)
+        if kind not in ("disney", "mix", "fourier"):
+            # disney remaps roughness itself (disney.cpp sqr(rough));
+            # mix/fourier set theirs above
+            m.remap_roughness = ps.find_one_bool("remaproughness", True)
         for slot, pname in (("kd_tex", "Kd"), ("ks_tex", "Ks"),
                             ("sigma_tex", "sigma"), ("rough_tex", "roughness"),
                             ("bump_tex", "bumpmap")):
