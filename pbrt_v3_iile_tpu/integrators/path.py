@@ -57,6 +57,9 @@ class PathConfig(NamedTuple):
                                       # freeze path geometry + sampling
                                       # decisions, differentiate shading
                                       # (see integrators/grad.py)
+    has_hair: bool = True             # statically compile the hair fiber
+                                      # lobe (ops/hair.py); config factory
+                                      # turns it off for hair-free scenes
 
 
 def _hg_p(cos_theta, g):
@@ -395,7 +398,8 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                 if cfg.volumetric else it.p
             ls = lightlib.sample_li(scene, light_id, p_ref, u_l)
             wi_l = vm.to_local(ls.wi, t_f, b_f, ns)
-            f_l, scat_pdf = bsdflib.evaluate(params, wo_l, wi_l)
+            f_l, scat_pdf = bsdflib.evaluate(params, wo_l, wi_l,
+                                             enable_hair=cfg.has_hair)
             scat_pdf = sg(scat_pdf)
             cos_l = vm.absdot(ls.wi, ns)
             can_nee = alive & (bsdflib.has_nonspecular(params) | scatter) & \
@@ -487,7 +491,8 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
         u_lobe = ub[:, 6] if ub is not None else smplr.uniform(k_lobe, (N,))
         u_dir = ub[:, 7:9] if ub is not None \
             else smplr.uniform(k_dir, (N, 2))
-        bs = bsdflib.sample(params, wo_l, u_lobe, u_dir)
+        bs = bsdflib.sample(params, wo_l, u_lobe, u_dir,
+                            enable_hair=cfg.has_hair)
         # detached sampling: the sampled direction and its pdf are frozen;
         # bs.f stays attached so d(beta)/d(material) flows
         wi_w = sg(vm.to_world(bs.wi, t_f, b_f, ns))

@@ -29,6 +29,7 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
         import jax
         use_pallas = jax.default_backend() not in ("cpu",)
     kind = sd.integrator.kind
+    has_hair = any(m.kind == apilib.MAT_HAIR for m in sd.materials)
     media = getattr(sd, "media", [])
     has_media = len(media) > 0
     has_grid = any(getattr(m, "density", None) is not None for m in media)
@@ -41,6 +42,7 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
             volumetric=(kind == "volpath" or has_media),
             grid_media=has_grid,
             use_pallas=use_pallas, staged=use_pallas,
+            has_hair=has_hair,
         )
     if kind == "directlighting":
         return pathlib_.PathConfig(
@@ -49,15 +51,18 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
             nee_all=(sd.integrator.dl_strategy == "all"),
             direct_only=True,
             use_pallas=use_pallas, staged=use_pallas,
+            has_hair=has_hair,
         )
     if kind == "whitted":
         return pathlib_.PathConfig(
             max_depth=sd.integrator.max_depth,
             nee=True, nee_all=True, direct_only=True,
             use_pallas=use_pallas, staged=use_pallas,
+            has_hair=has_hair,
         )
     return pathlib_.PathConfig(max_depth=sd.integrator.max_depth,
-                               use_pallas=use_pallas, staged=use_pallas)
+                               use_pallas=use_pallas, staged=use_pallas,
+                               has_hair=has_hair)
 
 
 def build(sd: apilib.SceneDesc, use_native_bvh: bool = True):

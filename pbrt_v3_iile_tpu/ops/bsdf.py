@@ -22,8 +22,9 @@ from ..utils import vecmath as vm
 from . import sampling as smp
 from ..scene.api import (
     MAT_NONE, MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL,
-    MAT_UBER, MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_DISNEY,
+    MAT_UBER, MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_DISNEY, MAT_HAIR,
 )
+from . import hair as hairlib
 
 INV_PI = 1.0 / jnp.pi
 
@@ -41,7 +42,12 @@ class BsdfParams(NamedTuple):
     sigma: jnp.ndarray       # (N,) oren-nayar sigma (degrees)
     aux: jnp.ndarray         # (N,8) disney [metallic, specTint, sheen,
                              # sheenTint, clearcoat, ccGloss, specTrans,
-                             # flatness] (ref: materials/disney.cpp)
+                             # flatness] (ref: materials/disney.cpp);
+                             # for hair: [beta_m, beta_n, alpha_deg, ...]
+                             # with sigma_a stored in kd
+    h: jnp.ndarray = None    # (N,) hair fiber offset in [-1,1]
+                             # (ref: hair.cpp h = -1 + 2*v); None when the
+                             # caller has no uv (treated as h = 0)
 
 
 def roughness_to_alpha(rough):
@@ -90,13 +96,21 @@ def gather_params(scene, mat_id, uv=None, p=None) -> BsdfParams:
     # disney's own remap (ref: disney.cpp: microRough = sqr(rough))
     alpha = jnp.where(kind == MAT_DISNEY,
                       jnp.maximum(rough * rough, 1e-3), alpha)
+    # hair: curve ribbons carry the across-fiber coordinate in v, so the
+    # ray's fiber offset is h = -1 + 2*frac(v) (ref: shapes/curve.cpp via
+    # hair.cpp h = -1 + 2*v; here curves are tessellated ribbons)
+    if uv is not None:
+        v_coord = uv[..., 1] - jnp.floor(uv[..., 1])
+        h = jnp.clip(-1.0 + 2.0 * v_coord, -0.9995, 0.9995)
+    else:
+        h = jnp.zeros(kind.shape, jnp.float32)
     return BsdfParams(
         kind=kind,
         kd=kd, ks=ks,
         kr=g(scene.mat_kr), kt=g(scene.mat_kt),
         alpha=alpha, eta=g(scene.mat_eta),
         metal_eta=g(scene.mat_metal_eta), metal_k=g(scene.mat_metal_k),
-        sigma=sigma, aux=g(scene.mat_aux),
+        sigma=sigma, aux=g(scene.mat_aux), h=h,
     )
 
 
@@ -222,6 +236,8 @@ def _lum(rgb):
     return vm.luminance(jnp.maximum(rgb, 0.0))
 
 
+
+
 def _lobe_weights(p: BsdfParams):
     """Returns per-lobe selection weights (N,4):
     0 diffuse, 1 glossy-microfacet, 2 specular-reflect, 3 specular-transmit.
@@ -233,6 +249,7 @@ def _lobe_weights(p: BsdfParams):
     w_g = jnp.where((k == MAT_PLASTIC) | (k == MAT_UBER)
                     | (k == MAT_TRANSLUCENT), _lum(p.ks), 0.0)
     w_g = jnp.where(k == MAT_METAL, 1.0, w_g)
+    w_g = jnp.where(k == MAT_HAIR, 1.0, w_g)
     w_g = jnp.where(k == MAT_SUBSTRATE, _lum(p.ks), w_g)
     w_r = jnp.where((k == MAT_MIRROR) | (k == MAT_UBER), _lum(p.kr), 0.0)
     w_r = jnp.where(k == MAT_GLASS, _lum(p.kr), w_r)
@@ -264,11 +281,14 @@ def _same_hemisphere(a, b):
 # Evaluate (non-specular lobes only, like BSDF::f with ~BSDF_SPECULAR)
 # ---------------------------------------------------------------------------
 
-def evaluate(p: BsdfParams, wo, wi):
+def evaluate(p: BsdfParams, wo, wi, enable_hair: bool = True):
     """Returns (f (N,3), pdf (N,)) for non-delta lobes.
 
     Mirrors BSDF::f + BSDF::Pdf (reflection.cpp:686, :776) with the lobe
     model: pdf is the selection-weighted mix of lobe pdfs.
+
+    enable_hair statically gates the fiber lobe (callers that know the
+    scene has no hair material — PathConfig.has_hair — skip its cost).
     """
     w = _lobe_weights(p)
     refl = _same_hemisphere(wo, wi)
@@ -372,6 +392,19 @@ def evaluate(p: BsdfParams, wo, wi):
          + jnp.where(valid_g[..., None], f_gloss, 0.0))
     pdf = (jnp.where(valid_d, w[..., 0] * pdf_diff, 0.0)
            + jnp.where(valid_g, w[..., 1] * pdf_gloss, 0.0))
+
+    # ---- hair fiber lobe (full-sphere, ref: materials/hair.cpp) ----
+    if enable_hair:
+        is_hair = p.kind == MAT_HAIR
+        h_fib = p.h if p.h is not None else jnp.zeros_like(p.eta)
+        f_hair = hairlib.evaluate(wo, wi, h_fib, p.kd,
+                                  p.aux[..., 0], p.aux[..., 1],
+                                  p.aux[..., 2], p.eta)
+        pdf_hair = hairlib.pdf(wo, wi, h_fib, p.kd,
+                               p.aux[..., 0], p.aux[..., 1],
+                               p.aux[..., 2], p.eta)
+        f = jnp.where(is_hair[..., None], f_hair, f)
+        pdf = jnp.where(is_hair, pdf_hair, pdf)
     # renormalize pdf over non-delta lobes only (delta lobes are never
     # evaluated here): the sampler picks them, so the pdf of arriving at a
     # non-delta lobe is conditional — but for MIS weights the reference
@@ -390,7 +423,7 @@ class BsdfSample(NamedTuple):
     valid: jnp.ndarray       # (N,) bool
 
 
-def sample(p: BsdfParams, wo, u_lobe, u2) -> BsdfSample:
+def sample(p: BsdfParams, wo, u_lobe, u2, enable_hair: bool = True) -> BsdfSample:
     """BSDF::Sample_f for the wavefront (ref: reflection.cpp:719).
 
     u_lobe: (N,) lobe-choice uniform; u2: (N,2) direction sample.
@@ -442,8 +475,9 @@ def sample(p: BsdfParams, wo, u_lobe, u2) -> BsdfSample:
                   jnp.where((lobe == 2)[..., None], wi_r, wi_t)))
 
     is_delta = lobe >= 2
-    # f & pdf for smooth lobes via evaluate()
-    f_sm, pdf_sm = evaluate(p, wo, wi)
+    # f & pdf for smooth lobes via evaluate() (hair handled separately
+    # below with its own importance sampler, so skip its lobe here)
+    f_sm, pdf_sm = evaluate(p, wo, wi, enable_hair=False)
 
     cos_i = jnp.abs(wi[..., 2])
     # delta reflect
@@ -472,10 +506,32 @@ def sample(p: BsdfParams, wo, u_lobe, u2) -> BsdfSample:
     valid = valid & jnp.where(lobe == 3, t_ok, True)
     valid = valid & jnp.where(lobe <= 1, _same_hemisphere(wo, wi), True)
     valid = valid & (cos_o > 0.0)
+    is_trans = lobe == 3
+
+    # ---- hair fiber sampling (ref: hair.cpp HairBSDF::Sample_f) ----
+    if enable_hair:
+        is_hair = p.kind == MAT_HAIR
+        # 4 uniforms from the 3 available: demux the phi sample's low bits
+        # for the conditional theta dimension (ref uses DemuxFloat)
+        u4 = jnp.stack([u_lobe, u2[..., 0], u2[..., 1],
+                        (u2[..., 0] * 4096.0) % 1.0], axis=-1)
+        h_fib = p.h if p.h is not None else jnp.zeros_like(p.eta)
+        wi_h, f_h, pdf_h = hairlib.sample(
+            wo, u4, h_fib, p.kd, p.aux[..., 0], p.aux[..., 1],
+            p.aux[..., 2], p.eta)
+        wi = jnp.where(is_hair[..., None], wi_h, wi)
+        f = jnp.where(is_hair[..., None], f_h, f)
+        pdf = jnp.where(is_hair, pdf_h, pdf)
+        is_delta = is_delta & ~is_hair
+        # hair scatters over the full sphere; flag hemisphere crossings as
+        # transmission so ray origins are offset to the correct side
+        is_trans = jnp.where(is_hair, ~_same_hemisphere(wo, wi), is_trans)
+        valid = jnp.where(is_hair, pdf > 0.0, valid)
+
     return BsdfSample(
         wi=wi, f=f, pdf=pdf,
         is_specular=is_delta,
-        is_transmission=(lobe == 3),
+        is_transmission=is_trans,
         valid=valid,
     )
 
@@ -490,5 +546,5 @@ def has_nonspecular(p: BsdfParams):
 def is_black(p: BsdfParams):
     w = _lobe_weights(p)
     tot = _lum(p.kd) + _lum(p.ks) + _lum(p.kr) + _lum(p.kt) + \
-        jnp.where(p.kind == MAT_METAL, 1.0, 0.0)
+        jnp.where((p.kind == MAT_METAL) | (p.kind == MAT_HAIR), 1.0, 0.0)
     return (tot <= 0.0) | (p.kind == MAT_NONE)

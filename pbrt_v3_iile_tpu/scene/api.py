@@ -32,6 +32,8 @@ MAT_SUBSTRATE = 7
 MAT_TRANSLUCENT = 8
 MAT_DISNEY = 9
 MAT_FOURIER = 10
+MAT_HAIR = 11
+MAT_SUBSURFACE = 12
 
 MATERIAL_IDS = {
     "": MAT_NONE,
@@ -46,6 +48,9 @@ MATERIAL_IDS = {
     "translucent": MAT_TRANSLUCENT,
     "disney": MAT_DISNEY,
     "fourier": MAT_FOURIER,
+    "hair": MAT_HAIR,
+    "subsurface": MAT_SUBSURFACE,
+    "kdsubsurface": MAT_SUBSURFACE,
 }
 
 LIGHT_POINT = 0
@@ -56,6 +61,13 @@ LIGHT_AREA_SPHERE = 4  # diffuse area light on an analytic sphere
 LIGHT_SPOT = 5
 LIGHT_GONIO = 6       # goniophotometric: point light with angular map
 LIGHT_PROJECTION = 7  # point light projecting a texture through a fov
+
+
+def _fdr(eta: float) -> float:
+    """Average diffuse Fresnel reflectance (Egan & Hilgeman fit, the same
+    relation used by the reference's BSSRDF boundary term — ref:
+    core/bssrdf.cpp FresnelMoment1 role)."""
+    return -1.440 / (eta * eta) + 0.710 / eta + 0.668 + 0.0636 * eta
 
 
 @dataclasses.dataclass
@@ -552,6 +564,59 @@ class Api:
                 ps.find_one_float("flatness", 0.0),
             ], np.float32)
             m.kt = np.sqrt(np.maximum(m.kd, 0.0))  # transmission tint
+        elif kind == "hair":
+            # (ref: materials/hair.cpp CreateHairMaterial) — sigma_a is
+            # stored in the kd slot; [beta_m, beta_n, alpha] ride in aux
+            beta_m = ps.find_one_float("beta_m", 0.3)
+            beta_n = ps.find_one_float("beta_n", 0.3)
+            sig_a = ps.find_one_rgb("sigma_a", None)
+            if sig_a is None:
+                color = ps.find_one_rgb("color", None)
+                if color is not None:
+                    c = np.asarray(color, np.float64)
+                    den = (5.969 - 0.215 * beta_n + 2.532 * beta_n ** 2
+                           - 10.73 * beta_n ** 3 + 5.574 * beta_n ** 4
+                           + 0.245 * beta_n ** 5)
+                    sig_a = (np.log(np.maximum(c, 1e-5)) / den) ** 2
+                else:
+                    eum = ps.find_one_float("eumelanin", 1.3)
+                    pheo = ps.find_one_float("pheomelanin", 0.0)
+                    sig_a = (eum * np.array([0.419, 0.697, 1.37])
+                             + pheo * np.array([0.187, 0.4, 1.05]))
+            m.kd = np.asarray(sig_a, np.float32).reshape(3)
+            m.eta = ps.find_one_float("eta", 1.55)
+            m.remap_roughness = False
+            m.aux = np.array([beta_m, beta_n,
+                              ps.find_one_float("alpha", 2.0),
+                              0, 0, 0, 0, 0], np.float32)
+        elif kind in ("subsurface", "kdsubsurface"):
+            # (ref: materials/subsurface.cpp, kdsubsurface.cpp).  The
+            # reference attaches a tabulated SeparableBSSRDF probed with
+            # extra geometry rays; the wavefront re-design collapses the
+            # subsurface term to its *total diffuse reflectance* Rd via the
+            # classical dipole albedo relation (Jensen et al. 2001, the
+            # same relation pbrt's SubsurfaceFromDiffuse inverts), layered
+            # under a Fresnel dielectric — an approximation that preserves
+            # total energy and color but not spatial bleeding.
+            m.kind = MAT_UBER
+            m.eta = ps.find_one_float("eta", 1.33)
+            if kind == "subsurface":
+                scale = ps.find_one_float("scale", 1.0)
+                sa = np.asarray(ps.find_one_rgb(
+                    "sigma_a", [0.0011, 0.0024, 0.014])) * scale
+                ss = np.asarray(ps.find_one_rgb(
+                    "sigma_s", [2.55, 3.21, 3.77])) * scale
+                ap = ss / np.maximum(sa + ss, 1e-9)   # single-scatter albedo
+                A = (1.0 + _fdr(m.eta)) / max(1.0 - _fdr(m.eta), 1e-6)
+                s3 = np.sqrt(3.0 * np.maximum(1.0 - ap, 1e-9))
+                rd = 0.5 * ap * (1.0 + np.exp(-4.0 / 3.0 * A * s3)) \
+                    * np.exp(-s3)
+                m.kd = rd.astype(np.float32)
+            else:
+                m.kd = ps.find_one_rgb("Kd", [0.5, 0.5, 0.5])
+            m.kr = ps.find_one_rgb("Kr", [1, 1, 1])
+            m.ks = np.zeros(3, np.float32)
+            m.roughness = ps.find_one_float("roughness", 0.0)
         elif kind == "mix":
             # MixMaterial (ref: materials/mixmat.cpp): blends two named
             # materials by 'amount'.  Wavefront re-design: blend in
@@ -581,7 +646,7 @@ class Api:
             pass  # fourier params were fitted above
         else:
             m.kd = ps.find_one_rgb("Kd", [0.5, 0.5, 0.5])
-        if kind not in ("disney", "mix", "fourier"):
+        if kind not in ("disney", "mix", "fourier", "hair"):
             # disney remaps roughness itself (disney.cpp sqr(rough));
             # mix/fourier set theirs above
             m.remap_roughness = ps.find_one_bool("remaproughness", True)

@@ -64,6 +64,8 @@ class ParamSet:
 
     def find_one_rgb(self, name, default):
         if name not in self._items:
+            if default is None:
+                return None
             return np.asarray(default, dtype=np.float64)
         typ, v = self._items[name]
         v = np.ravel(np.asarray(v, dtype=np.float64))
