@@ -88,6 +88,7 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
     if cam_kind == 3 and not sd.camera.lens_file:
         cam_kind = 0  # realistic without a lensfile: perspective fallback
     has_lens = sd.camera.lens_radius > 0.0 or is_realistic
+    is_animated = getattr(sd.camera, "cam_to_world_end", None) is not None
     CH = chunk_rows if chunk_rows > 0 else H
 
     @jax.jit
@@ -108,10 +109,15 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
         if has_lens:
             kl = smplr.wave_key(k, 0, 0, smplr.DIM_LENS)
             u_lens = smplr.uniform(kl, (CH * W, 2))
+        u_time = None
+        if is_animated:
+            kt = smplr.wave_key(k, 0, 0, smplr.DIM_TIME)
+            u_time = smplr.uniform(kt, (CH * W,))
         if is_realistic:
             o, d, w = camlib.realistic_generate_rays(cam, p_film, u_lens)
         else:
-            o, d = camlib.generate_rays(cam, p_film, u_lens, kind=cam_kind)
+            o, d = camlib.generate_rays(cam, p_film, u_lens, kind=cam_kind,
+                                        u_time=u_time)
             w = jnp.ones(CH * W, jnp.float32)
         return o, d, w, jitter, k
 

@@ -35,6 +35,18 @@ class Camera(NamedTuple):
     lens_eta: jnp.ndarray = jnp.zeros(0)     # (E,) index of refraction
     lens_ap: jnp.ndarray = jnp.zeros(0)      # (E,) aperture radius (m)
     film_half: jnp.ndarray = jnp.zeros(2)    # (2,) physical half extent
+    # AnimatedTransform camera motion blur (ref: core/transform.h
+    # AnimatedTransform; perspective.cpp ray.time = Lerp(sample.time,
+    # shutterOpen, shutterClose)): start/end decompositions of
+    # camera-to-world, interpolated per ray in generate_rays
+    anim_t0: jnp.ndarray = jnp.zeros(3)      # translation @ t0
+    anim_t1: jnp.ndarray = jnp.zeros(3)
+    anim_q0: jnp.ndarray = jnp.zeros(4)      # rotation quat (w,x,y,z)
+    anim_q1: jnp.ndarray = jnp.zeros(4)
+    anim_s0: jnp.ndarray = jnp.eye(3)        # scale/shear residual
+    anim_s1: jnp.ndarray = jnp.eye(3)
+    shutter: jnp.ndarray = jnp.zeros(2)      # (open, close)
+    anim_times: jnp.ndarray = jnp.asarray([0.0, 1.0])  # TransformTimes
 
 
 KIND = {"perspective": 0, "orthographic": 1, "environment": 2,
@@ -237,6 +249,28 @@ def realistic_generate_rays(cam: Camera, p_film: jnp.ndarray,
 
 
 def make_camera(desc, film) -> Camera:
+    cam = _make_camera_static(desc, film)
+    if getattr(desc, "cam_to_world_end", None) is not None:
+        T0, q0, S0 = xf.decompose(desc.cam_to_world)
+        T1, q1, S1 = xf.decompose(desc.cam_to_world_end)
+        if float(np.dot(q0, q1)) < 0.0:
+            q1 = -q1  # shortest arc (ref: quaternion.cpp Slerp neg-dot)
+        t0, t1 = getattr(desc, "transform_times", (0.0, 1.0))
+        cam = cam._replace(
+            anim_t0=jnp.asarray(T0, jnp.float32),
+            anim_t1=jnp.asarray(T1, jnp.float32),
+            anim_q0=jnp.asarray(q0, jnp.float32),
+            anim_q1=jnp.asarray(q1, jnp.float32),
+            anim_s0=jnp.asarray(S0, jnp.float32),
+            anim_s1=jnp.asarray(S1, jnp.float32),
+            shutter=jnp.asarray([desc.shutter_open, desc.shutter_close],
+                                jnp.float32),
+            anim_times=jnp.asarray([t0, max(t1, t0 + 1e-9)], jnp.float32),
+        )
+    return cam
+
+
+def _make_camera_static(desc, film) -> Camera:
     xres, yres = film.x_resolution, film.y_resolution
     aspect = xres / yres
     if desc.kind == "realistic" and getattr(desc, "lens_file", ""):
@@ -301,7 +335,7 @@ def _apply44_vector(m, v):
 
 
 def generate_rays(cam: Camera, p_film: jnp.ndarray, u_lens=None,
-                  kind: int = 0):
+                  kind: int = 0, u_time=None):
     """p_film: (N,2) raster-space sample positions (x, y).
 
     kind is STATIC (0 perspective, 1 ortho, 2 environment) — pass it from
@@ -339,9 +373,54 @@ def generate_rays(cam: Camera, p_film: jnp.ndarray, u_lens=None,
         o_cam = jnp.where(use, o_lens, o_cam)
         d_cam = jnp.where(use, vm.normalize(p_focus - o_lens), d_cam)
 
+    if u_time is not None:
+        # camera motion blur: per-ray shutter time -> interpolated
+        # camera-to-world = T(t) R(t) S(t) (ref: transform.cpp
+        # AnimatedTransform::Interpolate; time clamped to TransformTimes)
+        time = cam.shutter[0] + u_time * (cam.shutter[1] - cam.shutter[0])
+        dt = jnp.clip((time - cam.anim_times[0])
+                      / (cam.anim_times[1] - cam.anim_times[0]), 0.0, 1.0)
+        T = cam.anim_t0[None, :] \
+            + dt[:, None] * (cam.anim_t1 - cam.anim_t0)[None, :]
+        q = _quat_slerp(dt, cam.anim_q0, cam.anim_q1)       # (N,4)
+        R = _quat_to_matrix(q)                              # (N,3,3)
+        S = cam.anim_s0[None] \
+            + dt[:, None, None] * (cam.anim_s1 - cam.anim_s0)[None]
+        M = jnp.einsum("nij,njk->nik", R, S)                # (N,3,3)
+        o = jnp.einsum("nij,nj->ni", M, o_cam) + T
+        d = vm.normalize(jnp.einsum("nij,nj->ni", M, d_cam))
+        return o, d
     o = _apply44_point(cam.cam_to_world, o_cam)
     d = vm.normalize(_apply44_vector(cam.cam_to_world, d_cam))
     return o, d
+
+
+def _quat_slerp(t, q0, q1):
+    """Vectorized slerp, t (N,), q0/q1 (4,) -> (N,4)
+    (ref: quaternion.cpp Slerp)."""
+    d = jnp.dot(q0, q1)
+    theta = jnp.arccos(jnp.clip(d, -1.0, 1.0))
+    small = jnp.abs(d) > 0.9995
+    sin_th = jnp.sin(theta)
+    w0 = jnp.where(small, 1.0 - t,
+                   jnp.sin((1.0 - t) * theta) / jnp.maximum(sin_th, 1e-9))
+    w1 = jnp.where(small, t,
+                   jnp.sin(t * theta) / jnp.maximum(sin_th, 1e-9))
+    q = w0[:, None] * q0[None, :] + w1[:, None] * q1[None, :]
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def _quat_to_matrix(q):
+    """(N,4) wxyz -> (N,3,3) rotation matrices."""
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    return jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - z * w),
+                   2 * (x * z + y * w)], axis=-1),
+        jnp.stack([2 * (x * y + z * w), 1 - 2 * (x * x + z * z),
+                   2 * (y * z - x * w)], axis=-1),
+        jnp.stack([2 * (x * z - y * w), 2 * (y * z + x * w),
+                   1 - 2 * (x * x + y * y)], axis=-1),
+    ], axis=-2)
 
 
 def camera_position(cam: Camera):

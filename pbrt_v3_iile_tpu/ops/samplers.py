@@ -22,6 +22,7 @@ DIM_RR = 6
 DIM_HEMI = 7
 DIM_PROBE = 8
 DIM_MEDIUM_TRACK = 9   # grid-media delta tracking steps
+DIM_TIME = 10          # camera shutter time (motion blur)
 DIM_MEDIUM_TR = 10     # grid-media shadow ratio tracking steps
 
 

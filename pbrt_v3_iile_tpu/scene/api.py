@@ -146,6 +146,10 @@ class TextureRecord:
 class CameraDesc:
     kind: str = "perspective"
     cam_to_world: np.ndarray = dataclasses.field(default_factory=xf.identity)
+    # AnimatedTransform end-time camera-to-world (ref: transform.h
+    # AnimatedTransform; api.cpp pbrtCamera builds one from curTransform[2])
+    cam_to_world_end: np.ndarray = None
+    transform_times: tuple = (0.0, 1.0)
     fov: float = 90.0
     lens_radius: float = 0.0
     focal_distance: float = 1e6
@@ -273,6 +277,14 @@ class Api:
         self.base_dir = base_dir
         self.scene = SceneDesc()
         self.ctm = xf.identity()
+        # AnimatedTransform support (ref: core/api.cpp TransformSet
+        # curTransform[2] + activeTransformBits): a parallel end-time CTM
+        # receives the same ops when the End bit is active.  Geometry uses
+        # the start transform; the *camera* interpolates per-ray (ops/
+        # camera.py) — the dominant motion-blur use.
+        self.ctm_end = xf.identity()
+        self.active = 3              # bit 1 = StartTime, bit 2 = EndTime
+        self.transform_times = (0.0, 1.0)
         self.transform_stack = []
         self.graphics_stack = []
         self.gs = _GraphicsState()
@@ -284,28 +296,47 @@ class Api:
 
     # ------------------------------------------------------------------
     # transforms
+    def _concat(self, m):
+        if self.active & 1:
+            self.ctm = self.ctm @ m
+        if self.active & 2:
+            self.ctm_end = self.ctm_end @ m
+
     def Identity(self):
-        self.ctm = xf.identity()
+        if self.active & 1:
+            self.ctm = xf.identity()
+        if self.active & 2:
+            self.ctm_end = xf.identity()
 
     def Translate(self, dx, dy, dz):
-        self.ctm = self.ctm @ xf.translate(dx, dy, dz)
+        self._concat(xf.translate(dx, dy, dz))
 
     def Scale(self, sx, sy, sz):
-        self.ctm = self.ctm @ xf.scale(sx, sy, sz)
+        self._concat(xf.scale(sx, sy, sz))
 
     def Rotate(self, angle, x, y, z):
-        self.ctm = self.ctm @ xf.rotate(angle, x, y, z)
+        self._concat(xf.rotate(angle, x, y, z))
 
     def LookAt(self, ex, ey, ez, lx, ly, lz, ux, uy, uz):
         # world-to-camera gets concatenated (ref: api.cpp pbrtLookAt)
         c2w = xf.look_at([ex, ey, ez], [lx, ly, lz], [ux, uy, uz])
-        self.ctm = self.ctm @ xf.inverse(c2w)
+        self._concat(xf.inverse(c2w))
 
     def Transform(self, *m16):
-        self.ctm = np.asarray(m16, dtype=np.float64).reshape(4, 4).T
+        m = np.asarray(m16, dtype=np.float64).reshape(4, 4).T
+        if self.active & 1:
+            self.ctm = m.copy()
+        if self.active & 2:
+            self.ctm_end = m.copy()
 
     def ConcatTransform(self, *m16):
-        self.ctm = self.ctm @ np.asarray(m16, dtype=np.float64).reshape(4, 4).T
+        self._concat(np.asarray(m16, dtype=np.float64).reshape(4, 4).T)
+
+    def ActiveTransform(self, which):
+        self.active = {"StartTime": 1, "EndTime": 2}.get(which, 3)
+
+    def TransformTimes(self, t0, t1):
+        self.transform_times = (float(t0), float(t1))
 
     def CoordinateSystem(self, name):
         self.coord_systems[name] = self.ctm.copy()
@@ -313,12 +344,14 @@ class Api:
     def CoordSysTransform(self, name):
         if name in self.coord_systems:
             self.ctm = self.coord_systems[name].copy()
+            self.ctm_end = self.coord_systems[name].copy()
 
     def TransformBegin(self):
-        self.transform_stack.append(self.ctm.copy())
+        self.transform_stack.append(
+            (self.ctm.copy(), self.ctm_end.copy(), self.active))
 
     def TransformEnd(self):
-        self.ctm = self.transform_stack.pop()
+        self.ctm, self.ctm_end, self.active = self.transform_stack.pop()
 
     # ------------------------------------------------------------------
     # pre-world options
@@ -327,6 +360,12 @@ class Api:
         cam.kind = kind
         # CTM at Camera statement is world-to-camera (ref: api.cpp pbrtCamera)
         cam.cam_to_world = xf.inverse(self.ctm)
+        end = xf.inverse(self.ctm_end)
+        cam.cam_to_world_end = None if np.allclose(end, cam.cam_to_world) \
+            else end
+        cam.transform_times = self.transform_times
+        cam.shutter_open = ps.find_one_float("shutteropen", 0.0)
+        cam.shutter_close = ps.find_one_float("shutterclose", 1.0)
         cam.fov = ps.find_one_float("fov", 90.0)
         cam.lens_radius = ps.find_one_float("lensradius", 0.0)
         cam.focal_distance = ps.find_one_float("focaldistance", 1e6)
@@ -447,6 +486,8 @@ class Api:
     def WorldBegin(self):
         self.in_world = True
         self.ctm = xf.identity()
+        self.ctm_end = xf.identity()
+        self.active = 3
         self.coord_systems["world"] = self.ctm.copy()
 
     def WorldEnd(self):
@@ -454,11 +495,12 @@ class Api:
 
     def AttributeBegin(self):
         self.graphics_stack.append(self.gs.copy())
-        self.transform_stack.append(self.ctm.copy())
+        self.transform_stack.append(
+            (self.ctm.copy(), self.ctm_end.copy(), self.active))
 
     def AttributeEnd(self):
         self.gs = self.graphics_stack.pop()
-        self.ctm = self.transform_stack.pop()
+        self.ctm, self.ctm_end, self.active = self.transform_stack.pop()
 
     def ReverseOrientation(self):
         self.gs.reverse_orientation = not self.gs.reverse_orientation

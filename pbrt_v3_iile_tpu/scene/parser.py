@@ -222,9 +222,10 @@ def _parse(stream: _TokenStream, api) -> None:
                 name = _unquote(stream.next())
                 api.ObjectInstance(name)
             elif tok == "ActiveTransform":
-                stream.next()  # StartTime/EndTime/All — animation unsupported
+                api.ActiveTransform(stream.next())
             elif tok == "TransformTimes":
-                stream.next(), stream.next()
+                api.TransformTimes(float(stream.next()),
+                                   float(stream.next()))
             else:
                 getattr(api, tok)()
         else:

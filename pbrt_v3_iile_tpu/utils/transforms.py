@@ -110,3 +110,75 @@ def inverse(m: np.ndarray) -> np.ndarray:
 def swaps_handedness(m: np.ndarray) -> bool:
     """(ref: transform.h SwapsHandedness) — det of upper 3x3 < 0."""
     return bool(np.linalg.det(m[:3, :3]) < 0.0)
+
+
+# ---------------------------------------------------------------------------
+# AnimatedTransform decomposition (ref: core/transform.cpp
+# AnimatedTransform::Decompose — M = T R S with R extracted by polar
+# decomposition via iterative averaging with the inverse transpose)
+# ---------------------------------------------------------------------------
+
+def decompose(m: np.ndarray):
+    """Decompose an affine 4x4 into (T (3,), R quaternion (4,) wxyz,
+    S (3,3))."""
+    m = np.asarray(m, np.float64)
+    T = m[:3, 3].copy()
+    M = m[:3, :3].copy()
+    R = M.copy()
+    for _ in range(100):
+        R_next = 0.5 * (R + np.linalg.inv(R.T))
+        if np.max(np.abs(R_next - R)) < 1e-10:
+            R = R_next
+            break
+        R = R_next
+    S = np.linalg.inv(R) @ M
+    return T, matrix_to_quat(R), S
+
+
+def matrix_to_quat(R: np.ndarray) -> np.ndarray:
+    """3x3 rotation -> unit quaternion (w,x,y,z) (ref: quaternion.cpp
+    Quaternion(Transform) Shepperd's method)."""
+    R = np.asarray(R, np.float64)
+    tr = np.trace(R)
+    if tr > 0.0:
+        w = np.sqrt(tr + 1.0) / 2.0
+        s = 1.0 / (4.0 * w)
+        return np.array([w, (R[2, 1] - R[1, 2]) * s,
+                         (R[0, 2] - R[2, 0]) * s,
+                         (R[1, 0] - R[0, 1]) * s])
+    i = int(np.argmax(np.diag(R)))
+    j, k = (i + 1) % 3, (i + 2) % 3
+    s = np.sqrt(max(R[i, i] - R[j, j] - R[k, k] + 1.0, 0.0))
+    q = np.zeros(4)
+    q[1 + i] = 0.5 * s
+    s = 0.5 / max(s, 1e-12)
+    q[0] = (R[k, j] - R[j, k]) * s
+    q[1 + j] = (R[j, i] + R[i, j]) * s
+    q[1 + k] = (R[k, i] + R[i, k]) * s
+    return q
+
+
+def quat_to_matrix(q: np.ndarray) -> np.ndarray:
+    """(w,x,y,z) -> 3x3 rotation (works for numpy inputs; a jnp twin lives
+    in ops/camera.py for per-ray interpolation)."""
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+        [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+        [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def quat_slerp(t: float, q0: np.ndarray, q1: np.ndarray) -> np.ndarray:
+    """(ref: quaternion.cpp Slerp) — host-side twin of the device lerp."""
+    q0 = np.asarray(q0, np.float64)
+    q1 = np.asarray(q1, np.float64)
+    d = float(np.dot(q0, q1))
+    if d < 0:
+        q1, d = -q1, -d
+    if d > 0.9995:
+        q = (1 - t) * q0 + t * q1
+    else:
+        th = np.arccos(np.clip(d, -1, 1))
+        q = (np.sin((1 - t) * th) * q0 + np.sin(t * th) * q1) / np.sin(th)
+    return q / np.linalg.norm(q)
