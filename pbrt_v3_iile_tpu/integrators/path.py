@@ -60,6 +60,8 @@ class PathConfig(NamedTuple):
     has_hair: bool = True             # statically compile the hair fiber
                                       # lobe (ops/hair.py); config factory
                                       # turns it off for hair-free scenes
+    accel: str = "bvh"                # aggregate: "bvh" | "kdtree"
+                                      # (ref: api.cpp MakeAccelerator)
 
 
 def _hg_p(cos_theta, g):
@@ -230,7 +232,7 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
         t_max = jnp.where(alive, 1e30, -1.0)
         o, d = sg(o), sg(d)  # path geometry frozen in differentiable mode
         hit = isect.intersect(scene, o, d, t_max, use_pallas=cfg.use_pallas,
-                              sort=cfg.sort_rays)
+                              sort=cfg.sort_rays, accel=cfg.accel)
         hit = jax.tree.map(sg, hit)
         it = isect.make_interaction(scene, o, d, hit)
         it = jax.tree.map(sg, it)
@@ -418,7 +420,8 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
             # only candidate rays pay for the shadow traversal
             sh_tmax = jnp.where(can_nee, ls.dist * 0.999, -1.0)
             occ = isect.occluded(scene, o_sh, ls.wi, sh_tmax,
-                                 use_pallas=cfg.use_pallas)
+                                 use_pallas=cfg.use_pallas,
+                                 accel=cfg.accel)
             vis = can_nee & (~occ)
             w_l = jnp.where(ls.is_delta, 1.0,
                             smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf))

@@ -30,6 +30,9 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
         use_pallas = jax.default_backend() not in ("cpu",)
     kind = sd.integrator.kind
     has_hair = any(m.kind == apilib.MAT_HAIR for m in sd.materials)
+    accel = sd.accelerator if sd.accelerator == "kdtree" else "bvh"
+    if accel == "kdtree":
+        use_pallas = False  # packet kernel is BVH-only
     media = getattr(sd, "media", [])
     has_media = len(media) > 0
     has_grid = any(getattr(m, "density", None) is not None for m in media)
@@ -42,7 +45,7 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
             volumetric=(kind == "volpath" or has_media),
             grid_media=has_grid,
             use_pallas=use_pallas, staged=use_pallas,
-            has_hair=has_hair,
+            has_hair=has_hair, accel=accel,
         )
     if kind == "directlighting":
         return pathlib_.PathConfig(
@@ -51,18 +54,18 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
             nee_all=(sd.integrator.dl_strategy == "all"),
             direct_only=True,
             use_pallas=use_pallas, staged=use_pallas,
-            has_hair=has_hair,
+            has_hair=has_hair, accel=accel,
         )
     if kind == "whitted":
         return pathlib_.PathConfig(
             max_depth=sd.integrator.max_depth,
             nee=True, nee_all=True, direct_only=True,
             use_pallas=use_pallas, staged=use_pallas,
-            has_hair=has_hair,
+            has_hair=has_hair, accel=accel,
         )
     return pathlib_.PathConfig(max_depth=sd.integrator.max_depth,
                                use_pallas=use_pallas, staged=use_pallas,
-                               has_hair=has_hair)
+                               has_hair=has_hair, accel=accel)
 
 
 def build(sd: apilib.SceneDesc, use_native_bvh: bool = True):

@@ -209,8 +209,17 @@ def _coherence_key(scene, o, d):
 
 
 def intersect(scene, o, d, t_max, any_hit: bool = False,
-              use_pallas: bool = False, sort: bool = False) -> Hit:
-    """Full scene intersection: BVH triangles + analytic spheres."""
+              use_pallas: bool = False, sort: bool = False,
+              accel: str = "bvh") -> Hit:
+    """Full scene intersection: aggregate triangles + analytic spheres.
+
+    accel selects the aggregate statically ("bvh" | "kdtree", ref:
+    api.cpp MakeAccelerator); the Pallas packet kernel is BVH-only, so
+    kdtree implies the XLA walker."""
+    if accel == "kdtree" and not use_pallas:
+        from . import kdtree as kdlib
+        hit = kdlib.intersect_kd(scene, o, d, t_max, any_hit=any_hit)
+        return intersect_spheres(scene, o, d, hit)
     if use_pallas:
         from . import intersect_pallas
         if sort:
@@ -233,10 +242,10 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
 
 
 def occluded(scene, o, d, t_max, use_pallas: bool = False,
-             sort: bool = False) -> jnp.ndarray:
+             sort: bool = False, accel: str = "bvh") -> jnp.ndarray:
     """Shadow-ray IntersectP equivalent (ref: scene.cpp:56)."""
     return intersect(scene, o, d, t_max, any_hit=True,
-                     use_pallas=use_pallas, sort=sort).valid
+                     use_pallas=use_pallas, sort=sort, accel=accel).valid
 
 
 class Interaction(NamedTuple):

@@ -129,6 +129,13 @@ class DeviceScene(NamedTuple):
     world_min: jnp.ndarray   # (3,)
     world_max: jnp.ndarray   # (3,)
     world_radius: jnp.ndarray  # ()
+    # --- optional kd-tree aggregate (ref: accelerators/kdtreeaccel.cpp;
+    # built when the scene says Accelerator "kdtree" — ops/kdtree.py) ---
+    kd_split: jnp.ndarray = jnp.zeros(1, jnp.float32)   # (K,)
+    kd_meta: jnp.ndarray = jnp.full(1, 3, jnp.int32)    # (K,) axis|leaf+count
+    kd_offset: jnp.ndarray = jnp.zeros(1, jnp.int32)    # (K,)
+    kd_prims: jnp.ndarray = jnp.zeros(1, jnp.int32)     # (P,)
+    kd_bounds: jnp.ndarray = jnp.zeros((2, 3), jnp.float32)
 
 
 def _pad(a, n, fill=0.0):
@@ -487,7 +494,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     tris_t = np.zeros((12, Tp), np.float32)
     tris_t[:, :T_tris] = tris_packed.T
 
-    return DeviceScene(
+    ds = DeviceScene(
         tri_p0=f32(p[:, 0]), tri_e1=f32(e1), tri_e2=f32(e2),
         tri_ng=f32(ng), tri_ns=f32(ns), tri_uv=f32(uv),
         tri_mat=i32(mat), tri_light=i32(lig),
@@ -533,6 +540,17 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         world_min=f32(wmin), world_max=f32(wmax),
         world_radius=f32(wradius),
     )
+    if getattr(sd, "accelerator", "bvh") == "kdtree":
+        # alternative aggregate (ref: api.cpp MakeAccelerator "kdtree");
+        # built over the SAME BVH-ordered triangle arrays so prim ids are
+        # shared between the two traversals
+        from ..ops import kdtree as kdlib
+        kd = kdlib.build_kdtree(p[:, 0], e1, e2)
+        ds = ds._replace(
+            kd_split=f32(kd.split), kd_meta=i32(kd.meta),
+            kd_offset=i32(kd.offset), kd_prims=i32(kd.prims),
+            kd_bounds=f32(kd.bounds))
+    return ds
 
 
 def _build_env_map(sd):
