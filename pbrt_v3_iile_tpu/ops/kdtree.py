@@ -220,8 +220,10 @@ def intersect_kd(scene, o, d, t_max, any_hit: bool = False):
         below_first = (o_ax < split) | ((o_ax == split) & (d_ax <= 0))
         first = jnp.where(below_first, nid + 1, off)
         second = jnp.where(below_first, off, nid + 1)
+        # NB: pbrt's ordered if/else — the "near only" test wins when both
+        # hold (tplane <= 0 also satisfies tplane < smin for smin >= 0)
         only_near = (tplane > smax) | (tplane <= 0.0)
-        only_far = tplane < smin
+        only_far = (tplane < smin) & ~only_near
         both = interior & ~only_near & ~only_far
         # push far child with (tplane, smax)
         push_sp = jnp.minimum(sp, STACK_DEPTH - 1)
