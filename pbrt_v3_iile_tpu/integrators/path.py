@@ -369,8 +369,17 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
         ng_f = vm.face_forward(it.ng, -d)   # geometric normal towards viewer
         t_f, b_f = vm.coordinate_system(ns)
         wo_l = vm.to_local(it.wo, t_f, b_f, ns)
+        # ray-cone texture footprint: cone radius at the hit (apex = camera,
+        # half-angle = one pixel) converted to UV units by the triangle's
+        # UV density (ref: core/mipmap.h width; scene/textures.py doc)
+        T_w = scene.tri_p0.shape[0]
+        is_tri_w = (hit.prim >= 0) & (hit.prim < T_w)
+        dens_w = jnp.take(scene.tri_uv_density,
+                          jnp.clip(hit.prim, 0, T_w - 1))
+        cone_r = vm.length(it.p - scene.tex_cone_o[None, :]) * scene.tex_theta
+        tex_w = jnp.where(is_tri_w, cone_r * dens_w, 0.0)
         params = bsdflib.gather_params(scene, jnp.maximum(it.mat, 0),
-                                       uv=it.uv, p=it.p)
+                                       uv=it.uv, p=it.p, tex_width=tex_w)
         black = bsdflib.is_black(params)
         if cfg.volumetric:
             # null-material medium boundary: pass through, switch medium

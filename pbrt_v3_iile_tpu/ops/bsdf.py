@@ -58,11 +58,13 @@ def roughness_to_alpha(rough):
             + 0.0171201 * x ** 3 + 0.000640711 * x ** 4)
 
 
-def gather_params(scene, mat_id, uv=None, p=None) -> BsdfParams:
+def gather_params(scene, mat_id, uv=None, p=None,
+                  tex_width=None) -> BsdfParams:
     """Material SoA gather + texture evaluation at the hit
     (ref: Material::ComputeScatteringFunctions evaluating Texture::Evaluate,
     src/materials/matte.cpp:46 etc.).  uv (N,2) / p (N,3) enable textured
-    slots; without them constants are used."""
+    slots; without them constants are used.  tex_width: optional (N,)
+    UV-space ray-cone footprint for mip selection (scene/textures.py)."""
     from ..scene import textures as texlib
 
     g = lambda a: jnp.take(a, mat_id, axis=0)
@@ -79,16 +81,21 @@ def gather_params(scene, mat_id, uv=None, p=None) -> BsdfParams:
         ks_t = g(scene.mat_ks_tex)
         sg_t = g(scene.mat_sigma_tex)
         ro_t = g(scene.mat_rough_tex)
+        tw = tex_width
         kd = jnp.where((kd_t >= 0)[..., None],
-                       texlib.eval_texture(scene.textures, kd_t, uv, p), kd)
+                       texlib.eval_texture(scene.textures, kd_t, uv, p, tw),
+                       kd)
         ks = jnp.where((ks_t >= 0)[..., None],
-                       texlib.eval_texture(scene.textures, ks_t, uv, p), ks)
+                       texlib.eval_texture(scene.textures, ks_t, uv, p, tw),
+                       ks)
         sigma = jnp.where(
             sg_t >= 0,
-            texlib.eval_texture(scene.textures, sg_t, uv, p)[..., 0], sigma)
+            texlib.eval_texture(scene.textures, sg_t, uv, p, tw)[..., 0],
+            sigma)
         rough = jnp.where(
             ro_t >= 0,
-            texlib.eval_texture(scene.textures, ro_t, uv, p)[..., 0], rough)
+            texlib.eval_texture(scene.textures, ro_t, uv, p, tw)[..., 0],
+            rough)
     remap = g(scene.mat_remap) > 0.5
     kind = g(scene.mat_kind)
     alpha = jnp.where(remap, roughness_to_alpha(rough),

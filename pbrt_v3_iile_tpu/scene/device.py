@@ -136,6 +136,11 @@ class DeviceScene(NamedTuple):
     kd_offset: jnp.ndarray = jnp.zeros(1, jnp.int32)    # (K,)
     kd_prims: jnp.ndarray = jnp.zeros(1, jnp.int32)     # (P,)
     kd_bounds: jnp.ndarray = jnp.zeros((2, 3), jnp.float32)
+    # --- ray-cone texture filtering (ref: core/mipmap.h MIPMap width;
+    # redesigned as ray cones for the wavefront — scene/textures.py) ---
+    tri_uv_density: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (T,) sqrt(dUV/dA)
+    tex_theta: jnp.ndarray = jnp.zeros((), jnp.float32)      # pixel cone angle
+    tex_cone_o: jnp.ndarray = jnp.zeros(3, jnp.float32)      # cone apex (camera)
 
 
 def _pad(a, n, fill=0.0):
@@ -494,6 +499,24 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     tris_t = np.zeros((12, Tp), np.float32)
     tris_t[:, :T_tris] = tris_packed.T
 
+    # ray-cone texture filter inputs (scene/textures.py module doc): the
+    # per-triangle UV-area density converts a world-space cone radius to a
+    # UV footprint; the pixel cone angle comes from the camera
+    duv1 = uv[:, 1] - uv[:, 0]
+    duv2 = uv[:, 2] - uv[:, 0]
+    uv_area = 0.5 * np.abs(duv1[..., 0] * duv2[..., 1]
+                           - duv1[..., 1] * duv2[..., 0])
+    w_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    uv_density = np.sqrt(uv_area / np.maximum(w_area, 1e-20)).astype(
+        np.float32)
+    cam = sd.camera
+    if cam.kind == "perspective":
+        tex_theta = (2.0 * np.tan(0.5 * np.deg2rad(cam.fov))
+                     / max(sd.film.y_resolution, 1))
+    else:
+        tex_theta = 0.0  # ortho/env/realistic: finest level (as before)
+    cone_o = np.asarray(cam.cam_to_world[:3, 3], np.float32)
+
     ds = DeviceScene(
         tri_p0=f32(p[:, 0]), tri_e1=f32(e1), tri_e2=f32(e2),
         tri_ng=f32(ng), tri_ns=f32(ns), tri_uv=f32(uv),
@@ -539,6 +562,8 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         has_env_map=i32(env["has"]), env_light_id=i32(env["light_id"]),
         world_min=f32(wmin), world_max=f32(wmax),
         world_radius=f32(wradius),
+        tri_uv_density=f32(uv_density), tex_theta=f32(tex_theta),
+        tex_cone_o=f32(cone_o),
     )
     if getattr(sd, "accelerator", "bvh") == "kdtree":
         # alternative aggregate (ref: api.cpp MakeAccelerator "kdtree");

@@ -43,6 +43,10 @@ class ParamSet:
     def find_one_float(self, name, default):
         if name not in self._items:
             return float(default)
+        if self._items[name][0] == "texture":
+            # textured slot: constant fallback (resolved via
+            # find_texture_name by the material builder)
+            return float(default)
         return float(np.ravel(self._items[name][1])[0])
 
     def find_one_int(self, name, default):
@@ -68,6 +72,12 @@ class ParamSet:
                 return None
             return np.asarray(default, dtype=np.float64)
         typ, v = self._items[name]
+        if typ == "texture":
+            # textured slot: constant fallback (resolved via
+            # find_texture_name by the material builder)
+            if default is None:
+                return None
+            return np.asarray(default, dtype=np.float64)
         v = np.ravel(np.asarray(v, dtype=np.float64))
         if typ == "blackbody":
             return _blackbody_rgb(v)

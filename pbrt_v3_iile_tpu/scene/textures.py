@@ -3,10 +3,17 @@
 Replaces the reference's texture plugins (ref: src/textures/: constant,
 scale, mix, bilerp, imagemap + MIPMap, uv, checkerboard, dots, fbm,
 wrinkled, marble, windy) with a SoA texture table evaluated by masked
-vector ops; image maps live in one resampled atlas (bilinear lookups —
-MIPMap trilinear filtering is a later refinement); noise textures use a
-hash-gradient Perlin implemented in jnp (ref: src/core/texture.cpp Noise/
-FBm/Turbulence semantics).
+vector ops; image maps live in one resampled atlas with an N_MIPS-level
+pyramid per image for trilinear filtering (ref: core/mipmap.h
+MIPMap::Lookup(st, width) — level = nLevels-1+log2(width), bilinear at
+the two bracketing levels, lerp).  TPU restructuring: every level is
+stored BLOCK-REPLICATED back to ATLAS_RES so one flat gather formula
+serves every level while the coarse-grid bilinear filter stays exact;
+the filter width comes from ray cones
+(distance x pixel angle x per-triangle UV density) instead of the
+reference's per-ray differentials — the idiomatic wavefront equivalent.
+Noise textures use a hash-gradient Perlin implemented in jnp (ref:
+src/core/texture.cpp Noise/FBm/Turbulence semantics).
 """
 
 from __future__ import annotations
@@ -31,6 +38,7 @@ TEX_WINDY = 10
 TEX_BILERP = 11
 
 ATLAS_RES = 256
+N_MIPS = 6  # pyramid depth: 256 -> 8 (coarser levels clamp here)
 
 KIND_IDS = {
     "constant": TEX_CONST, "scale": TEX_SCALE, "mix": TEX_MIX,
@@ -48,10 +56,10 @@ class TextureTable(NamedTuple):
     child2: jnp.ndarray    # (X,) i32
     uscale: jnp.ndarray    # (X,)
     vscale: jnp.ndarray    # (X,)
-    img: jnp.ndarray       # (X,) i32 atlas index or -1
+    img: jnp.ndarray       # (X,) i32 atlas image index or -1
     octaves: jnp.ndarray   # (X,) noise octaves
     omega: jnp.ndarray     # (X,) noise roughness
-    atlas: jnp.ndarray     # (I, ATLAS_RES, ATLAS_RES, 3)
+    atlas: jnp.ndarray     # (I*N_MIPS, ATLAS_RES, ATLAS_RES, 3) img-major
 
 
 def empty_table() -> TextureTable:
@@ -62,7 +70,7 @@ def empty_table() -> TextureTable:
         kind=jnp.zeros((1,), jnp.int32), v1=z3, v2=z3, child1=zi, child2=zi,
         uscale=jnp.ones((1,)), vscale=jnp.ones((1,)), img=zi,
         octaves=jnp.full((1,), 8.0), omega=jnp.full((1,), 0.5),
-        atlas=jnp.zeros((1, ATLAS_RES, ATLAS_RES, 3), jnp.float32),
+        atlas=jnp.zeros((N_MIPS, ATLAS_RES, ATLAS_RES, 3), jnp.float32),
     )
 
 
@@ -103,6 +111,22 @@ def _resample(img: np.ndarray, res: int) -> np.ndarray:
             + (1 - fy) * fx * img[y0][:, x1]
             + fy * (1 - fx) * img[y1][:, x0]
             + fy * fx * img[y1][:, x1]).astype(np.float32)
+
+
+def _mip_pyramid(img: np.ndarray) -> np.ndarray:
+    """(R,R,3) -> (N_MIPS,R,R,3): 2x2 box-filtered chain (ref:
+    mipmap.h MIPMap ctor resampling), each level stored BLOCK-REPLICATED
+    back to R so the runtime can address coarse texel (jx,jy) at fine
+    index (jx<<k, jy<<k) — one flat gather formula for every level while
+    the coarse-grid bilinear filter stays exact."""
+    levels = [img.astype(np.float32)]
+    cur = img
+    for k in range(1, N_MIPS):
+        cur = 0.25 * (cur[0::2, 0::2] + cur[1::2, 0::2]
+                      + cur[0::2, 1::2] + cur[1::2, 1::2])
+        levels.append(np.repeat(np.repeat(cur, 2 ** k, axis=0),
+                                2 ** k, axis=1).astype(np.float32))
+    return np.stack(levels)
 
 
 def build_table(named_textures: dict) -> tuple[TextureTable, dict]:
@@ -181,8 +205,9 @@ def build_table(named_textures: dict) -> tuple[TextureTable, dict]:
                 v1[i] = [ps.find_one_float("scale", 1.0)] * 3
                 v2[i] = [ps.find_one_float("variation", 0.2)] * 3
 
-    atlas = (np.stack(atlas_imgs) if atlas_imgs
-             else np.zeros((1, ATLAS_RES, ATLAS_RES, 3), np.float32))
+    atlas = (np.concatenate([_mip_pyramid(im) for im in atlas_imgs])
+             if atlas_imgs
+             else np.zeros((N_MIPS, ATLAS_RES, ATLAS_RES, 3), np.float32))
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     i32 = lambda a: jnp.asarray(a, jnp.int32)
     return TextureTable(
@@ -262,8 +287,10 @@ def turbulence(p, octaves, omega, max_octaves: int = 8):
 # evaluation
 # ---------------------------------------------------------------------------
 
-def _eval_leaf(tt: TextureTable, tid, uv, p):
-    """Evaluate without nesting (children treated as constants v1/v2)."""
+def _eval_leaf(tt: TextureTable, tid, uv, p, width=None):
+    """Evaluate without nesting (children treated as constants v1/v2).
+    width: optional (N,) UV-space filter footprint for imagemap
+    trilinear filtering (ref: mipmap.h MIPMap::Lookup); None/0 = finest."""
     g = lambda a: jnp.take(a, tid, axis=0)
     kind = g(tt.kind)
     v1 = g(tt.v1)
@@ -308,29 +335,51 @@ def _eval_leaf(tt: TextureTable, tid, uv, p):
         + ((1 - fu) * fv + fu * (1 - fv))[..., None] * 0.5 * (v1 + v2)
     out = jnp.where((kind == TEX_BILERP)[..., None], bil, out)
 
-    # imagemap: bilinear atlas lookup, wrap repeat
+    # imagemap: trilinear mip lookup, wrap repeat (ref: mipmap.h
+    # MIPMap::Lookup(st, width): level = nLevels-1 + log2(max(width,eps)),
+    # bilinear at floor/ceil levels, lerp — here every level is stored at
+    # ATLAS_RES so the four texel addresses are shared across levels)
     img_id = jnp.maximum(g(tt.img), 0)
     R = tt.atlas.shape[1]
-    fu_i = (u - jnp.floor(u)) * R - 0.5
-    fv_i = (v - jnp.floor(v)) * R - 0.5
-    x0 = jnp.floor(fu_i).astype(jnp.int32)
-    y0 = jnp.floor(fv_i).astype(jnp.int32)
-    ax = fu_i - x0
-    ay = fv_i - y0
-    x0m = jnp.mod(x0, R)
-    x1m = jnp.mod(x0 + 1, R)
-    y0m = jnp.mod(y0, R)
-    y1m = jnp.mod(y0 + 1, R)
     flat = tt.atlas.reshape(-1, 3)
 
-    def at(xm, ym):
-        idx = (img_id * R + ym) * R + xm
-        return jnp.take(flat, idx, axis=0)
+    if width is None:
+        lvl = jnp.zeros_like(u)
+    else:
+        # footprint in the tile's own UV frame scales with uscale/vscale
+        w = jnp.maximum(width * jnp.maximum(us, vs), 1e-8)
+        lvl = jnp.clip(jnp.log2(w) + jnp.log2(float(R)), 0.0, N_MIPS - 1.0)
+    l0 = jnp.floor(lvl).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, N_MIPS - 1)
+    af = (lvl - l0)[..., None]
 
-    imgv = ((1 - ax) * (1 - ay))[..., None] * at(x0m, y0m) \
-        + (ax * (1 - ay))[..., None] * at(x1m, y0m) \
-        + ((1 - ax) * ay)[..., None] * at(x0m, y1m) \
-        + (ax * ay)[..., None] * at(x1m, y1m)
+    def bil(lv):
+        # bilinear on the level's own r x r grid; block-replicated storage
+        # puts coarse texel (jx,jy) at fine index (jx<<lv, jy<<lv)
+        scale = jnp.left_shift(jnp.int32(1), lv)
+        r_f = R / scale.astype(u.dtype)
+        fx = (u - jnp.floor(u)) * r_f - 0.5
+        fy = (v - jnp.floor(v)) * r_f - 0.5
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        ax = fx - x0
+        ay = fy - y0
+        r_i = R // scale
+        x0m = jnp.mod(x0, r_i) * scale
+        x1m = jnp.mod(x0 + 1, r_i) * scale
+        y0m = jnp.mod(y0, r_i) * scale
+        y1m = jnp.mod(y0 + 1, r_i) * scale
+        base = (img_id * N_MIPS + lv) * (R * R)
+
+        def at(xm, ym):
+            return jnp.take(flat, base + ym * R + xm, axis=0)
+
+        return ((1 - ax) * (1 - ay))[..., None] * at(x0m, y0m) \
+            + (ax * (1 - ay))[..., None] * at(x1m, y0m) \
+            + ((1 - ax) * ay)[..., None] * at(x0m, y1m) \
+            + (ax * ay)[..., None] * at(x1m, y1m)
+
+    imgv = (1 - af) * bil(l0) + af * bil(l1)
     out = jnp.where((kind == TEX_IMAGE)[..., None], imgv, out)
 
     # noise textures on world position (ref: textures/fbm.h etc.)
@@ -362,19 +411,20 @@ def _eval_leaf(tt: TextureTable, tid, uv, p):
     return out
 
 
-def eval_texture(tt: TextureTable, tid, uv, p):
+def eval_texture(tt: TextureTable, tid, uv, p, width=None):
     """Evaluate texture ids (N,) at uv (N,2), world p (N,3) -> (N,3).
-    Nested scale/mix/checkerboard children resolved one level deep."""
+    Nested scale/mix/checkerboard children resolved one level deep.
+    width: optional (N,) UV-space ray-cone footprint (mip selection)."""
     tid_c = jnp.maximum(tid, 0)
-    base = _eval_leaf(tt, tid_c, uv, p)
+    base = _eval_leaf(tt, tid_c, uv, p, width)
     c1 = jnp.take(tt.child1, tid_c)
     c2 = jnp.take(tt.child2, tid_c)
     has_child = (c1 >= 0) | (c2 >= 0)
     v1c = jnp.where((c1 >= 0)[..., None],
-                    _eval_leaf(tt, jnp.maximum(c1, 0), uv, p),
+                    _eval_leaf(tt, jnp.maximum(c1, 0), uv, p, width),
                     jnp.take(tt.v1, tid_c, axis=0))
     v2c = jnp.where((c2 >= 0)[..., None],
-                    _eval_leaf(tt, jnp.maximum(c2, 0), uv, p),
+                    _eval_leaf(tt, jnp.maximum(c2, 0), uv, p, width),
                     jnp.take(tt.v2, tid_c, axis=0))
     kind = jnp.take(tt.kind, tid_c)
     us = jnp.take(tt.uscale, tid_c)
