@@ -265,18 +265,22 @@ def run_task(scene, cam, sd, net, net_vars, fns, key, task,
     R = fns["cnn"](net_vars, gb.intensity, gb.normals, gb.distance,
                    probe_valid)
 
-    # ---- pixels, chunked ----
+    # ---- pixels, chunked (only the task's in-image rectangle; a task
+    # whose nominal task_size overhangs the image edge must not spend
+    # waves on out-of-image pixels) ----
     coords_f = coords.astype(jnp.float32)
     x1 = min(task.x0 + task_size, W)
     y1 = min(task.y0 + task_size, H)
+    wx = max(x1 - task.x0, 1)
+    wy = max(y1 - task.y0, 1)
     idx_all, rgb_all, val_all = [], [], []
-    npix = task_size * task_size
+    npix = wx * wy
     for c0 in range(0, npix, PIXEL_CHUNK):
         c1 = min(c0 + PIXEL_CHUNK, npix)
         n_chunk = c1 - c0
         li = jnp.arange(c0, c1)
-        lx = li % task_size
-        ly = li // task_size
+        lx = li % wx
+        ly = li // wx
         fx = task.x0 + lx
         fy = task.y0 + ly
         in_img = (fx < x1) & (fy < y1)

@@ -60,19 +60,13 @@ def _reverse_bits32(v):
     return (v >> 16) | (v << 16)
 
 
-def sobol02(i: jnp.ndarray, scramble_x: jnp.ndarray = None,
-            scramble_y: jnp.ndarray = None):
-    """(0,2)-sequence point i (ref: lowdiscrepancy.h Sobol2D semantics).
-
-    x = van der Corput (bit reversal); y = Sobol' second dimension.
-    Returns (x, y) in [0,1).
-    """
+def sobol02_bits(i: jnp.ndarray):
+    """(0,2)-sequence point i as u32 bit patterns (x = van der Corput
+    bit reversal; y = Sobol' second dimension via the direction-number
+    recurrence)."""
     i = i.astype(jnp.uint32)
     x = _reverse_bits32(i)
-    if scramble_x is not None:
-        x = x ^ scramble_x.astype(jnp.uint32)
 
-    # Sobol' dim-2 via the standard direction-number recurrence
     def body(b, carry):
         v, rem, y = carry
         bit = rem & jnp.uint32(1)
@@ -84,6 +78,16 @@ def sobol02(i: jnp.ndarray, scramble_x: jnp.ndarray = None,
     v0 = jnp.full(i.shape, 1 << 31, jnp.uint32)
     _, _, y = jax.lax.fori_loop(
         0, 32, body, (v0, i, jnp.zeros(i.shape, jnp.uint32)))
+    return x, y
+
+
+def sobol02(i: jnp.ndarray, scramble_x: jnp.ndarray = None,
+            scramble_y: jnp.ndarray = None):
+    """(0,2)-sequence point i (ref: lowdiscrepancy.h Sobol2D semantics).
+    Returns (x, y) in [0,1)."""
+    x, y = sobol02_bits(i)
+    if scramble_x is not None:
+        x = x ^ scramble_x.astype(jnp.uint32)
     if scramble_y is not None:
         y = y ^ scramble_y.astype(jnp.uint32)
     scale = jnp.float32(1.0 / (1 << 32))
@@ -98,3 +102,46 @@ def hash_u32(x: jnp.ndarray) -> jnp.ndarray:
     x = x ^ (x >> 4)
     x = x * jnp.uint32(0x27D4EB2D)
     return x ^ (x >> 15)
+
+
+def _laine_karras_permutation(x, seed):
+    """Hash-based nested-uniform (Owen) permutation in the reversed-bit
+    domain (Laine & Karras 2011 hash as refined by Burley 2020,
+    'Practical Hash-based Owen Scrambling' — public-domain constants)."""
+    x = x + seed
+    x = x ^ (x * jnp.uint32(0x6C50B47C))
+    x = x ^ (x * jnp.uint32(0xB82F1E52))
+    x = x ^ (x * jnp.uint32(0xC7AFE638))
+    x = x ^ (x * jnp.uint32(0x8D22F6E6))
+    return x
+
+
+def owen_scramble_u32(x, seed):
+    """Owen-scramble a radical-inverse u32 (bit k permuted by a hash of
+    bits above k).  Statistically equivalent to tree-based Owen
+    scrambling; replaces the reference's random digit scrambles
+    (ref: lowdiscrepancy.h:59-229 SobolSampleBits + scramble) with a
+    variance-reducing scramble that keeps the (0,2)-net structure."""
+    x = _reverse_bits32(x.astype(jnp.uint32))
+    x = _laine_karras_permutation(x, seed.astype(jnp.uint32))
+    return _reverse_bits32(x)
+
+
+def sobol02_owen(i, seed_x, seed_y):
+    """Owen-scrambled (0,2)-sequence point i.  seed_x/seed_y: per-element
+    u32 scramble seeds (decorrelate pixels/dimension-pairs)."""
+    xu, yu = sobol02_bits(i)
+    xu = owen_scramble_u32(xu, seed_x)
+    yu = owen_scramble_u32(yu, seed_y)
+    scale = jnp.float32(1.0 / (1 << 32))
+    return (jnp.minimum(xu.astype(jnp.float32) * scale, 1.0 - 1e-7),
+            jnp.minimum(yu.astype(jnp.float32) * scale, 1.0 - 1e-7))
+
+
+def scrambled_vdc(i, seed):
+    """Owen-scrambled van der Corput 1D sequence (for 1D decisions:
+    light select, lobe choice, russian roulette)."""
+    v = _reverse_bits32(i.astype(jnp.uint32))
+    v = owen_scramble_u32(v, seed)
+    return jnp.minimum(v.astype(jnp.float32) * jnp.float32(1.0 / (1 << 32)),
+                       1.0 - 1e-7)

@@ -23,7 +23,7 @@ DIM_HEMI = 7
 DIM_PROBE = 8
 DIM_MEDIUM_TRACK = 9   # grid-media delta tracking steps
 DIM_TIME = 10          # camera shutter time (motion blur)
-DIM_MEDIUM_TR = 10     # grid-media shadow ratio tracking steps
+DIM_MEDIUM_TR = 11     # grid-media shadow ratio tracking steps
 
 
 def wave_key(base_key, pass_idx, bounce, purpose):
@@ -82,3 +82,80 @@ def pixel_samples(kind: str, key, pixel_idx, pass_idx, spp: int):
         x, y = lds.sobol02(i, sx, sy)
         return jnp.stack([x, y], axis=-1)
     return uniform(key, (n, 2))
+
+
+# ---------------------------------------------------------------------------
+# GlobalSampler: low-discrepancy samples for EVERY integration dimension
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+
+LD_KINDS = ("sobol", "lowdiscrepancy", "02sequence", "zerotwosequence",
+            "maxmindist", "halton")
+
+
+class SampleCtx(NamedTuple):
+    """Per-wavefront sampling context for GlobalSampler semantics (ref:
+    src/core/sampler.h:106 GlobalSampler + lowdiscrepancy.h:59-229): when
+    present, every integration dimension (light select/sample, BSDF lobe/
+    direction, RR, medium) is drawn from an Owen-scrambled (0,2)-sequence
+    indexed by the pass number, with an independent scramble per
+    (pixel, bounce, purpose) — "padded" low-discrepancy sampling.  The
+    pad decorrelates dimension pairs while each pair keeps its net
+    stratification over passes, which is what drives the variance win.
+
+    pixel: (N,) u32 flat pixel id of each wavefront lane.
+    index: scalar u32 sample index (pass number).
+    salt:  scalar u32 derived from the render seed.
+    """
+    pixel: "jnp.ndarray"
+    index: "jnp.ndarray"
+    salt: "jnp.ndarray"
+
+
+def make_sample_ctx(key, pixel_idx, pass_idx) -> SampleCtx:
+    from . import lds
+
+    salt = jax.random.randint(jax.random.fold_in(key, 0x5D5),
+                              (), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32).astype(jnp.uint32)
+    return SampleCtx(pixel=pixel_idx.astype(jnp.uint32),
+                     index=jnp.asarray(pass_idx, jnp.uint32),
+                     salt=salt)
+
+
+def _dim_seed(ctx: SampleCtx, bounce, purpose, k):
+    from . import lds
+
+    code = (jnp.uint32(bounce) * jnp.uint32(64)
+            + jnp.uint32(purpose) * jnp.uint32(4) + jnp.uint32(k))
+    return lds.hash_u32(ctx.pixel
+                        ^ (code * jnp.uint32(0x9E3779B9))
+                        ^ ctx.salt)
+
+
+def ctx_uniform(ctx, key, bounce, purpose, shape):
+    """Uniform samples for one integration decision.
+
+    ctx None -> plain threefry stream (wave_key(key, 0, bounce, purpose)).
+    ctx set  -> Owen-scrambled padded Sobol02: dims are drawn in pairs
+    from independent scrambles, so any trailing dimensionality works.
+    shape: (N,) or (N, k) with k <= 4.
+    """
+    from . import lds
+
+    if ctx is None:
+        return uniform(wave_key(key, 0, bounce, purpose), shape)
+    N = shape[0]
+    k = 1 if len(shape) == 1 else shape[1]
+    i = jnp.broadcast_to(ctx.index, (N,))
+    cols = []
+    for pair in range((k + 1) // 2):
+        sx = _dim_seed(ctx, bounce, purpose, 2 * pair)
+        sy = _dim_seed(ctx, bounce, purpose, 2 * pair + 1)
+        x, y = lds.sobol02_owen(i, sx, sy)
+        cols.extend([x, y])
+    if len(shape) == 1:
+        return cols[0]
+    return jnp.stack(cols[:k], axis=-1)

@@ -24,53 +24,46 @@ from ..integrators import path as pathlib_
 
 
 def sharded_render_pass(sd, mesh, cfg=None):
-    """Returns jitted f(scene, cam, key, pass_idx) -> L (H, W, 3) with the
-    pixel wavefront sharded over EVERY mesh device (dp x tile) and scene
-    replicated.  Each device traces its own rows; the gather back to the
-    full image is the only cross-device movement (disjoint tiles — no
-    reduction needed, ref P1/P7)."""
+    """Returns jitted f(scene, cam, key, pass_idx) -> (L (H,W,3),
+    jitter (H,W,2)) with the pixel wavefront sharded over EVERY mesh
+    device (dp x tile) and the scene replicated.  Each device traces its
+    own row block; the gather back to the full image is the only
+    cross-device movement (disjoint tiles -- no reduction, ref P1/P7).
+
+    Wave generation and keying go through render.make_wave_prep with
+    row0 = the shard's first row, so a device's rows are sampled
+    IDENTICALLY to the single-device chunked driver with
+    chunk_rows = H/n_devices -- sharded == unsharded, bit for bit
+    (tests/test_multichip.py asserts this)."""
+    from ..integrators import render as renderlib
+
     H, W = sd.film.y_resolution, sd.film.x_resolution
     if cfg is None:
-        from ..integrators import render as renderlib
         cfg = renderlib.make_integrator_config(sd)
-    cam_kind = camlib.KIND.get(sd.camera.kind, 0)
     n_dev = mesh.devices.size
     assert H % n_dev == 0, f"image rows {H} must divide over {n_dev} devices"
+    CH = H // n_dev
+    prep, is_realistic = renderlib.make_wave_prep(sd, chunk_rows=CH)
 
     axes = (meshlib.AXIS_DP, meshlib.AXIS_TILE)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axes)),
-        out_specs=P(axes),
+        in_specs=(P(), P(), P(), P(), P(axes)),
+        out_specs=(P(axes), P(axes)),
         check_rep=False)
-    def pass_rows(scene, cam, key, rows):
-        # rows: (H_local,) absolute row indices for this shard
-        h_local = rows.shape[0]
-        px = jnp.arange(W, dtype=jnp.float32)
-        gx = jnp.broadcast_to(px[None, :], (h_local, W))
-        gy = jnp.broadcast_to(rows.astype(jnp.float32)[:, None], (h_local, W))
-        pix = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
-        # per-shard key: fold in first row so shards decorrelate
-        k = jax.random.fold_in(key, rows[0])
-        kj = smplr.wave_key(k, 0, 0, smplr.DIM_PIXEL_JITTER)
-        jitter = smplr.uniform(kj, pix.shape)
-        if cam_kind == 3:  # realistic lens system
-            kl = smplr.wave_key(k, 0, 0, smplr.DIM_LENS)
-            u_lens = smplr.uniform(kl, pix.shape)
-            o, d, w = camlib.realistic_generate_rays(cam, pix + jitter,
-                                                     u_lens)
-            beta0 = jnp.broadcast_to(w[:, None], (w.shape[0], 3))
-        else:
-            o, d = camlib.generate_rays(cam, pix + jitter, kind=cam_kind)
-            beta0 = None
-        L, _ = pathlib_.trace_paths(scene, o, d, k, cfg, beta0=beta0)
-        return L.reshape(h_local, W, 3)
+    def pass_rows(scene, cam, key, pass_idx, rows):
+        # rows: (CH,) absolute row indices for this shard (contiguous)
+        o, d, w, jitter, k, ctx = prep(cam, key, pass_idx, rows[0])
+        beta0 = (jnp.broadcast_to(w[:, None], (w.shape[0], 3))
+                 if is_realistic else None)
+        L, _ = pathlib_.trace_paths(scene, o, d, k, cfg, beta0=beta0,
+                                    sample_ctx=ctx)
+        return L.reshape(CH, W, 3), jitter.reshape(CH, W, 2)
 
     def run(scene, cam, key, pass_idx):
         rows = jnp.arange(H, dtype=jnp.int32)
-        k = jax.random.fold_in(key, pass_idx)
-        return pass_rows(scene, cam, k, rows)
+        return pass_rows(scene, cam, key, jnp.int32(pass_idx), rows)
 
     return jax.jit(run)
 

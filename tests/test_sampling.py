@@ -55,3 +55,12 @@ def test_power_heuristic():
     assert np.isclose(float(w[0]), 4.0 / 5.0)
     w0 = smp.power_heuristic(1.0, jnp.array([0.0]), 1.0, jnp.array([0.0]))
     assert float(w0[0]) == 0.0
+
+
+def test_rng_dim_tags_unique():
+    # every DIM_* purpose tag must be a distinct stream (a collision
+    # correlates two unrelated integration dimensions — e.g. the round-1
+    # bug where shutter time and shadow ratio-tracking shared stream 10)
+    from pbrt_v3_iile_tpu.ops import samplers as smplr
+    tags = {k: v for k, v in vars(smplr).items() if k.startswith("DIM_")}
+    assert len(set(tags.values())) == len(tags), tags
