@@ -73,7 +73,7 @@ def main():
     H, W = sd.film.y_resolution, sd.film.x_resolution
 
     # warmup / compile (excluded from timing)
-    L, jit_, rays = run(scene, cam, key, 0, 0)
+    L, jit_, aux0 = run(scene, cam, key, 0, 0)
     L.block_until_ready()
 
     spp = int(os.environ.get("BENCH_SPP", "8"))
@@ -81,8 +81,8 @@ def main():
     total_rays = 0
     outs = []
     for p in range(1, spp + 1):
-        L, _, rays = run(scene, cam, key, p, 0)
-        outs.append((L, rays))
+        L, _, aux = run(scene, cam, key, p, 0)
+        outs.append((L, aux["rays"]))
     for L, rays in outs:
         L.block_until_ready()
         total_rays += int(rays)

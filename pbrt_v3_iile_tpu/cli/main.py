@@ -74,6 +74,11 @@ def main(argv=None):
     from ..integrators import render as renderlib
     from ..utils import image as imglib
 
+    if args.stats:
+        # per-stage wall-time + counter collection (the stats.h role;
+        # forces device sync per stage, so off by default)
+        from ..utils import stats as statslib
+        statslib.enable(True)
     sd = apilib.load_scene(args.scene)
     if args.integrator:
         sd.integrator.kind = args.integrator
@@ -131,6 +136,9 @@ def main(argv=None):
         write_output(out, img)
         if args.stats:
             print(json.dumps(stats), file=sys.stderr)
+    if args.stats:
+        from ..utils import stats as statslib
+        print(statslib.report(), file=sys.stderr)
     print(f"wrote {out}")
     return 0
 

@@ -141,6 +141,114 @@ def cmd_benchmark(argv):
     print(f"wrote {args.out}")
 
 
+def cmd_bsdftest(argv):
+    """BSDF sampling-consistency harness (the src/tools/bsdftest.cpp
+    role): for each model, estimate hemispherical-directional reflectance
+    three ways — uniform-hemisphere sampling, cosine sampling, and the
+    BSDF's own importance sampling — and report agreement.  Also checks
+    sample()'s pdf against evaluate()'s pdf on the sampled directions.
+    """
+    import argparse
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops import bsdf as bsdflib
+    from ..ops import sampling as smp
+    from ..scene import api as apilib
+
+    ap = argparse.ArgumentParser(prog="tools bsdftest")
+    ap.add_argument("--n", type=int, default=1 << 15)
+    ap.add_argument("--models", default="matte,oren,plastic,metal,"
+                    "substrate,uber,translucent,disney")
+    ap.add_argument("--theta", type=float, default=30.0,
+                    help="viewing angle from the normal, degrees")
+    args = ap.parse_args(argv)
+
+    kinds = {
+        "matte": (apilib.MAT_MATTE, {}),
+        "oren": (apilib.MAT_MATTE, dict(sigma=20.0)),
+        "plastic": (apilib.MAT_PLASTIC, {}),
+        "metal": (apilib.MAT_METAL, {}),
+        "substrate": (getattr(apilib, "MAT_SUBSTRATE", apilib.MAT_PLASTIC),
+                      {}),
+        "uber": (getattr(apilib, "MAT_UBER", apilib.MAT_PLASTIC), {}),
+        "translucent": (getattr(apilib, "MAT_TRANSLUCENT",
+                                apilib.MAT_MATTE), {}),
+        "disney": (getattr(apilib, "MAT_DISNEY", apilib.MAT_MATTE), {}),
+    }
+
+    n = args.n
+    key = jax.random.PRNGKey(7)
+    th = np.deg2rad(args.theta)
+    wo = jnp.tile(jnp.asarray([[np.sin(th), 0.0, np.cos(th)]],
+                              jnp.float32), (n, 1))
+
+    def make_params(kind, over):
+        d = dict(
+            kind=jnp.full(n, kind, jnp.int32),
+            kd=jnp.tile(jnp.array([[0.6, 0.4, 0.2]]), (n, 1)),
+            ks=jnp.tile(jnp.array([[0.25, 0.25, 0.25]]), (n, 1)),
+            kr=jnp.tile(jnp.array([[0.9, 0.9, 0.9]]), (n, 1)),
+            kt=jnp.tile(jnp.array([[1.0, 1.0, 1.0]]), (n, 1)),
+            alpha=jnp.full(n, 0.15),
+            eta=jnp.full(n, 1.5),
+            metal_eta=jnp.tile(jnp.array([[0.2, 0.92, 1.1]]), (n, 1)),
+            metal_k=jnp.tile(jnp.array([[3.9, 2.45, 2.14]]), (n, 1)),
+            sigma=jnp.full(n, float(over.get("sigma", 0.0))),
+            aux=jnp.zeros((n, 8)),
+        )
+        return bsdflib.BsdfParams(**d)
+
+    failures = 0
+    for name in args.models.split(","):
+        if name not in kinds:
+            print(f"{name:12s} SKIP (unknown model)")
+            continue
+        kind, over = kinds[name]
+        p = make_params(kind, over)
+
+        # (a) uniform hemisphere: rho ~ E[f cos / (1/2pi)]
+        u = jax.random.uniform(jax.random.fold_in(key, 1), (n, 2))
+        wi_u = smp.uniform_sample_hemisphere(u)
+        f_u, _ = bsdflib.evaluate(p, wo, wi_u)
+        rho_uniform = np.asarray(
+            (f_u * wi_u[:, 2:3] * (2.0 * np.pi)).mean(axis=0))
+
+        # (b) cosine sampling: rho ~ E[f pi]
+        wi_c = smp.cosine_sample_hemisphere(
+            jax.random.uniform(jax.random.fold_in(key, 2), (n, 2)))
+        f_c, _ = bsdflib.evaluate(p, wo, wi_c)
+        rho_cosine = np.asarray((f_c * np.pi).mean(axis=0))
+
+        # (c) importance sampling: rho ~ E[f cos / pdf] (reflection only)
+        s = bsdflib.sample(
+            p, wo, jax.random.uniform(jax.random.fold_in(key, 3), (n,)),
+            jax.random.uniform(jax.random.fold_in(key, 4), (n, 2)))
+        w = jnp.abs(s.wi[:, 2:3]) / jnp.maximum(s.pdf, 1e-9)[:, None]
+        refl = s.valid & (s.wi[:, 2] > 0.0) & (~s.is_specular)
+        rho_imp = np.asarray(
+            jnp.where(refl[:, None], s.f * w, 0.0).mean(axis=0))
+
+        # pdf consistency on non-specular samples
+        _, pdf_e = bsdflib.evaluate(p, wo, s.wi)
+        m = np.asarray(refl)
+        pd_s = np.asarray(s.pdf)[m]
+        pd_e = np.asarray(pdf_e)[m]
+        pdf_err = (np.abs(pd_s - pd_e) / np.maximum(pd_e, 1e-6)).max() \
+            if m.any() else 0.0
+
+        err_ab = np.abs(rho_uniform - rho_cosine).max()
+        err_ac = np.abs(rho_uniform - rho_imp).max()
+        ok = err_ab < 0.03 and err_ac < 0.05 and pdf_err < 1e-3
+        failures += 0 if ok else 1
+        print(f"{name:12s} rho_uniform={rho_uniform.round(4)} "
+              f"rho_cos={rho_cosine.round(4)} rho_imp={rho_imp.round(4)} "
+              f"pdf_err={pdf_err:.2e} {'OK' if ok else 'FAIL'}")
+    return 1 if failures else 0
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
@@ -155,6 +263,8 @@ def main(argv=None):
         return cmd_convert(rest)
     if cmd == "benchmark":
         return cmd_benchmark(rest)
+    if cmd == "bsdftest":
+        return cmd_bsdftest(rest)
     print(f"unknown tool {cmd}")
     return 1
 

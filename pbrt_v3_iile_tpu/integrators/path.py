@@ -60,6 +60,10 @@ class PathConfig(NamedTuple):
     has_hair: bool = True             # statically compile the hair fiber
                                       # lobe (ops/hair.py); config factory
                                       # turns it off for hair-free scenes
+    spatial_lights: bool = False      # SpatialLightDistribution: pick NEE
+                                      # lights from the per-voxel table
+                                      # (ref: lightdistrib.h:100); MIS
+                                      # select-pdfs become position-aware
     accel: str = "bvh"                # aggregate: "bvh" | "kdtree"
                                       # (ref: api.cpp MakeAccelerator)
 
@@ -143,7 +147,7 @@ PRIM_DIMS_PER_BOUNCE = 10
 
 def trace_paths(scene, o0, d0, key, cfg: PathConfig,
                 beta0=None, collect_aux: bool = False, u_prim=None,
-                sample_ctx=None):
+                sample_ctx=None, time=None):
     """Traces N paths; returns radiance (N,3) [and aux dict].
 
     o0, d0: (N,3) primary rays.  key: per-wavefront base PRNG key.
@@ -156,6 +160,9 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
     sample_ctx: optional samplers.SampleCtx — GlobalSampler mode: every
     integration dimension comes from an Owen-scrambled (0,2)-sequence
     (ref: sampler.h:106; see ops/samplers.py SampleCtx).
+    time: optional (N,) per-ray shutter interpolation parameter for
+    object motion blur (constant along a path; ref: ray.time threading
+    in path.cpp / primitive.h TransformedPrimitive::Intersect).
     """
     N = o0.shape[0]
     if beta0 is None:
@@ -174,7 +181,8 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
 
     def bounce_body(carry, bounce):
         return _bounce(scene, carry, bounce, key, cfg, collect_aux,
-                       u_prim=u_prim, sample_ctx=sample_ctx), None
+                       u_prim=u_prim, sample_ctx=sample_ctx,
+                       time=time), None
 
     carry0 = (o0, d0, beta0, L0, alive0, spec0, prev_pdf0, eta_scale0,
               aux_t0, aux_n0, ghost0, med0, jnp.zeros((), jnp.int32))
@@ -187,8 +195,15 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
         assert u_prim is None, "explicit primary samples need scan mode"
         step = _staged_step(cfg, collect_aux)
         carry = carry0
+        from ..utils import stats as statslib
         for b in range(cfg.max_depth + 1):
-            carry = step(scene, carry, jnp.int32(b), key, sample_ctx)
+            if statslib.enabled():
+                carry = statslib.timed(f"path/bounce[{b}]", step, scene,
+                                       carry, jnp.int32(b), key,
+                                       sample_ctx, time)
+            else:
+                carry = step(scene, carry, jnp.int32(b), key, sample_ctx,
+                             time)
     else:
         bounces = jnp.arange(cfg.max_depth + 1)
         carry, _ = jax.lax.scan(bounce_body, carry0, bounces)
@@ -205,14 +220,14 @@ import functools
 @functools.lru_cache(maxsize=64)
 def _staged_step(cfg: PathConfig, collect_aux: bool):
     @jax.jit
-    def step(scene, carry, bounce, key, sample_ctx):
+    def step(scene, carry, bounce, key, sample_ctx, time):
         return _bounce(scene, carry, bounce, key, cfg, collect_aux,
-                       sample_ctx=sample_ctx)
+                       sample_ctx=sample_ctx, time=time)
     return step
 
 
 def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
-            u_prim=None, sample_ctx=None):
+            u_prim=None, sample_ctx=None, time=None):
     """One wavefront bounce: intersect -> medium event -> Le -> NEE ->
     BSDF/phase continuation -> RR.  See trace_paths for semantics."""
     (o, d, beta, L, alive, spec, prev_pdf, eta_scale,
@@ -233,10 +248,14 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
         # cost nothing inside the traversal kernels
         t_max = jnp.where(alive, 1e30, -1.0)
         o, d = sg(o), sg(d)  # path geometry frozen in differentiable mode
-        hit = isect.intersect(scene, o, d, t_max, use_pallas=cfg.use_pallas,
-                              sort=cfg.sort_rays, accel=cfg.accel)
+        with jax.named_scope("intersect"):
+            hit = isect.intersect(scene, o, d, t_max,
+                                  use_pallas=cfg.use_pallas,
+                                  sort=cfg.sort_rays, accel=cfg.accel,
+                                  time=time)
         hit = jax.tree.map(sg, hit)
-        it = isect.make_interaction(scene, o, d, hit)
+        with jax.named_scope("interaction"):
+            it = isect.make_interaction(scene, o, d, hit, time=time)
         it = jax.tree.map(sg, it)
         ray_count = ray_count + jnp.sum(alive)
 
@@ -327,8 +346,12 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
         # light distribution (power or uniform)
         Ls = scene.light_kind.shape[0]
         live_l = jnp.arange(Ls) < scene.n_lights
-        inf_sel_pdf = jnp.sum(jnp.where(
-            (scene.light_kind == 2) & live_l, scene.light_pdf, 0.0))
+        if cfg.spatial_lights:
+            # previous path vertex = this segment's origin
+            inf_sel_pdf = lightlib.infinite_select_pdf_spatial(scene, o)
+        else:
+            inf_sel_pdf = jnp.sum(jnp.where(
+                (scene.light_kind == 2) & live_l, scene.light_pdf, 0.0))
         env_dir_pdf = jnp.where(
             scene.has_env_map > 0,
             lightlib._env_dir_pdf(scene, d), smp.INV_4PI)
@@ -343,7 +366,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
         lid = jnp.maximum(it.light, 0)
         le = lightlib.area_light_le(scene, lid, it.ng, it.wo)
         hit_cos = jnp.abs(vm.dot(it.ng, d))
-        hit_sel_pdf = jnp.take(scene.light_pdf, lid)
+        hit_sel_pdf = (lightlib.light_select_pdf_spatial(scene, o, lid)
+                       if cfg.spatial_lights
+                       else jnp.take(scene.light_pdf, lid))
         area_pdf = lightlib.pdf_li(scene, lid, o, d, hit.t,
                                    hit_cos) * hit_sel_pdf
         w_le = _mis_or_one(use_mis, prev_pdf, area_pdf)
@@ -429,9 +454,10 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                 vm.offset_ray_origin(it.p, ng_f, ls.wi)
             # only candidate rays pay for the shadow traversal
             sh_tmax = jnp.where(can_nee, ls.dist * 0.999, -1.0)
-            occ = isect.occluded(scene, o_sh, ls.wi, sh_tmax,
-                                 use_pallas=cfg.use_pallas,
-                                 accel=cfg.accel)
+            with jax.named_scope("shadow"):
+                occ = isect.occluded(scene, o_sh, ls.wi, sh_tmax,
+                                     use_pallas=cfg.use_pallas,
+                                     accel=cfg.accel, time=time)
             vis = can_nee & (~occ)
             w_l = jnp.where(ls.is_delta, 1.0,
                             smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf))
@@ -501,9 +527,16 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                 else draw(smplr.DIM_LIGHT_SELECT, (N,))
             u_l = ub[:, 3:6] if ub is not None \
                 else draw(smplr.DIM_LIGHT_SAMPLE, (N, 3))
-            light_id, sel_pdf = lightlib.choose_light(scene, u_sel)
-            c_nee, n_sh = nee_once(light_id, sel_pdf, u_l,
-                                   jnp.ones(N, bool))
+            if cfg.spatial_lights:
+                p_sel = jnp.where(scatter[:, None], p_med, it.p) \
+                    if cfg.volumetric else it.p
+                light_id, sel_pdf = lightlib.choose_light_spatial(
+                    scene, u_sel, p_sel)
+            else:
+                light_id, sel_pdf = lightlib.choose_light(scene, u_sel)
+            with jax.named_scope("nee"):
+                c_nee, n_sh = nee_once(light_id, sel_pdf, u_l,
+                                       jnp.ones(N, bool))
             L = L + c_nee
             ray_count = ray_count + n_sh
 
@@ -512,8 +545,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
             else draw(smplr.DIM_BSDF_LOBE, (N,))
         u_dir = ub[:, 7:9] if ub is not None \
             else draw(smplr.DIM_BSDF_DIR, (N, 2))
-        bs = bsdflib.sample(params, wo_l, u_lobe, u_dir,
-                            enable_hair=cfg.has_hair)
+        with jax.named_scope("bsdf_sample"):
+            bs = bsdflib.sample(params, wo_l, u_lobe, u_dir,
+                                enable_hair=cfg.has_hair)
         # detached sampling: the sampled direction and its pdf are frozen;
         # bs.f stays attached so d(beta)/d(material) flows
         wi_w = sg(vm.to_world(bs.wi, t_f, b_f, ns))

@@ -36,6 +36,7 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
     media = getattr(sd, "media", [])
     has_media = len(media) > 0
     has_grid = any(getattr(m, "density", None) is not None for m in media)
+    spatial = sd.integrator.light_strategy == "spatial"
     if kind in ("path", "volpath", "bdpt", "mlt", "sppm", "iispt"):
         # bdpt/mlt/sppm have their own drivers (integrators/bdpt.py,
         # mlt.py, sppm.py); this config carries the shared knobs
@@ -46,6 +47,7 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
             grid_media=has_grid,
             use_pallas=use_pallas, staged=use_pallas,
             has_hair=has_hair, accel=accel,
+            spatial_lights=spatial,
         )
     if kind == "directlighting":
         return pathlib_.PathConfig(
@@ -90,6 +92,7 @@ def make_wave_prep(sd: apilib.SceneDesc, chunk_rows: int = 0):
         cam_kind = 0  # realistic without a lensfile: perspective fallback
     has_lens = sd.camera.lens_radius > 0.0 or is_realistic
     is_animated = getattr(sd.camera, "cam_to_world_end", None) is not None
+    has_motion = bool(getattr(sd, "has_motion", False))
     CH = chunk_rows if chunk_rows > 0 else H
 
     def prep(cam, key, pass_idx, row0):
@@ -110,14 +113,27 @@ def make_wave_prep(sd: apilib.SceneDesc, chunk_rows: int = 0):
             kl = smplr.wave_key(k, 0, 0, smplr.DIM_LENS)
             u_lens = smplr.uniform(kl, (CH * W, 2))
         u_time = None
-        if is_animated:
+        if is_animated or has_motion:
             kt = smplr.wave_key(k, 0, 0, smplr.DIM_TIME)
             u_time = smplr.uniform(kt, (CH * W,))
+        # object motion blur: normalized shutter-time parameter shared by
+        # camera AND shape keyframe interpolation (ref: perspective.cpp
+        # ray.time = Lerp(sample.time, shutterOpen, shutterClose) +
+        # transform.h AnimatedTransform::Interpolate clamping)
+        ray_time = None
+        if has_motion:
+            so = float(getattr(sd.camera, "shutter_open", 0.0))
+            sc = float(getattr(sd.camera, "shutter_close", 1.0))
+            tt0, tt1 = getattr(sd.camera, "transform_times", (0.0, 1.0))
+            t_abs = so + u_time * (sc - so)
+            ray_time = jnp.clip((t_abs - tt0) / max(tt1 - tt0, 1e-9),
+                                0.0, 1.0)
         if is_realistic:
             o, d, w = camlib.realistic_generate_rays(cam, p_film, u_lens)
         else:
-            o, d = camlib.generate_rays(cam, p_film, u_lens, kind=cam_kind,
-                                        u_time=u_time)
+            o, d = camlib.generate_rays(
+                cam, p_film, u_lens, kind=cam_kind,
+                u_time=u_time if is_animated else None)
             w = jnp.ones(CH * W, jnp.float32)
         # GlobalSampler mode: LD sampler kinds drive EVERY integration
         # dimension of the wavefront, not just the pixel jitter
@@ -125,14 +141,15 @@ def make_wave_prep(sd: apilib.SceneDesc, chunk_rows: int = 0):
         ctx = None
         if sd.sampler.kind in smplr.LD_KINDS:
             ctx = smplr.make_sample_ctx(key, flat_pix, pass_idx)
-        return o, d, w, jitter, k, ctx
+        return o, d, w, jitter, k, ctx, ray_time
 
     return prep, is_realistic
 
 
 def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
     """Returns jittable f(scene, cam, key, pass_idx[, row0]) ->
-    (L, jitter, rays).
+    (L, jitter, aux) — aux carries "rays" and, for bdpt, the pass's
+    "splat" light-tracing film (flat (H*W+1, 3); see bdpt.py).
 
     With chunk_rows == 0 the wave covers the whole image: L is (H,W,3).
     With chunk_rows > 0 the wave covers rows [row0, row0+chunk_rows): L is
@@ -147,8 +164,8 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
     prep = jax.jit(prep_raw)
 
     def run(scene, cam, key, pass_idx, row0=0):
-        o, d, w, jitter, k, ctx = prep(cam, key, jnp.int32(pass_idx),
-                                       jnp.int32(row0))
+        o, d, w, jitter, k, ctx, rtime = prep(cam, key, jnp.int32(pass_idx),
+                                              jnp.int32(row0))
         if sd.integrator.kind == "ambientocclusion":
             from . import ao as aolib
             L = aolib.trace_ao(scene, o, d, k,
@@ -159,17 +176,23 @@ def render_pass_fn(sd: apilib.SceneDesc, cfg=None, chunk_rows: int = 0):
             aux = {"rays": jnp.int32(2 * CH * W)}
         elif sd.integrator.kind == "bdpt":
             from . import bdpt as bdptlib
+            # t=1 light tracing needs the camera importance model:
+            # perspective pinhole only (ref: perspective.cpp Sample_Wi)
+            pinhole = (camlib.KIND.get(sd.camera.kind, 0) == 0
+                       and sd.camera.lens_radius <= 0.0)
             L, aux = bdptlib.trace_bdpt(scene, o, d, k,
                                         max_depth=sd.integrator.max_depth,
-                                        use_pallas=cfg.use_pallas)
+                                        use_pallas=cfg.use_pallas,
+                                        cam=cam if pinhole else None,
+                                        film_hw=(H, W) if pinhole else None)
             if is_realistic:
                 L = L * w[:, None]
         else:
             beta0 = (jnp.broadcast_to(w[:, None], (CH * W, 3))
                      if is_realistic else None)
             L, aux = pathlib_.trace_paths(scene, o, d, k, cfg, beta0=beta0,
-                                          sample_ctx=ctx)
-        return (L.reshape(CH, W, 3), jitter.reshape(CH, W, 2), aux["rays"])
+                                          sample_ctx=ctx, time=rtime)
+        return (L.reshape(CH, W, 3), jitter.reshape(CH, W, 2), aux)
 
     return run
 
@@ -255,26 +278,49 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
 
     CH = chunk_rows if chunk_rows else H
     ray_acc = jnp.zeros((), jnp.int64) if False else jnp.zeros((), jnp.int32)
+    splat_acc = None
+    from ..utils import stats as statslib
     t0 = time.time()
     for p in range(start_pass, spp):
         if chunk_rows:
             Ls, Js = [], []
             for row0 in range(0, H, CH):
-                L, jitter, rays = run(scene, cam, key, p, row0)
+                L, jitter, aux = run(scene, cam, key, p, row0)
                 Ls.append(L)
                 Js.append(jitter)
-                ray_acc = ray_acc + rays
+                ray_acc = ray_acc + aux["rays"]
+                if "splat" in aux:
+                    splat_acc = aux["splat"] if splat_acc is None \
+                        else splat_acc + aux["splat"]
             L = jnp.concatenate(Ls, axis=0)
             jitter = jnp.concatenate(Js, axis=0)
         else:
-            L, jitter, rays = run(scene, cam, key, p, 0)
-            ray_acc = ray_acc + rays
-        film = add(film, L, jitter)
+            with statslib.stage("render/pass", sync=None):
+                L, jitter, aux = run(scene, cam, key, p, 0)
+                if statslib.enabled():
+                    import jax as _jax
+                    _jax.block_until_ready(L)
+            ray_acc = ray_acc + aux["rays"]
+            if "splat" in aux:
+                splat_acc = aux["splat"] if splat_acc is None \
+                    else splat_acc + aux["splat"]
+        with statslib.stage("render/film_add", sync=None):
+            film = add(film, L, jitter)
+            if statslib.enabled():
+                import jax as _jax
+                _jax.block_until_ready(film.rgb)
         if checkpoint and checkpoint_every and (p + 1) % checkpoint_every == 0:
             save_film_checkpoint(checkpoint, film, p + 1, seed)
         if report is not None:
             report(p + 1, spp, film)
+    if statslib.enabled():
+        statslib.add_counter("rays/total", int(ray_acc))
+        statslib.add_counter("pixels x passes", (spp - start_pass) * H * W)
     img = np.asarray(filmlib.resolve(film))
+    if splat_acc is not None:
+        # splat scale = 1/spp (ref: film.cpp WriteImage splatScale;
+        # bdpt.cpp render loop)
+        img = img + np.asarray(splat_acc[:H * W].reshape(H, W, 3)) / spp
     total_rays = int(ray_acc)
     dt = time.time() - t0
     return img, dict(seconds=dt, rays=total_rays,

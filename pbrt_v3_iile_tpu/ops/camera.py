@@ -429,6 +429,75 @@ def camera_position(cam: Camera):
 
 
 # ---------------------------------------------------------------------------
+# Camera importance (perspective pinhole): light-tracing support
+# ---------------------------------------------------------------------------
+
+def _persp_film_area(cam: Camera):
+    """Film area on the camera-space z=1 plane (the A in pbrt's
+    perspective importance; ref: perspective.cpp ctor pMin/pMax via
+    RasterToCamera)."""
+    res = cam.resolution.astype(jnp.float32)
+    corners = jnp.stack([jnp.array([0.0, 0.0, 0.0]),
+                         jnp.stack([res[0], res[1], jnp.float32(0.0)])])
+    pc = _apply44_point(cam.raster_to_camera, corners)
+    pc = pc / pc[:, 2:3]
+    return jnp.abs((pc[1, 0] - pc[0, 0]) * (pc[1, 1] - pc[0, 1]))
+
+
+def camera_forward(cam: Camera):
+    fwd = cam.cam_to_world[:3, 2]
+    return fwd / jnp.maximum(jnp.linalg.norm(fwd), 1e-12)
+
+
+def pdf_we_dir(cam: Camera, d_world):
+    """Directional density of the perspective camera's ray sampling
+    (ref: perspective.cpp Pdf_We: pdfDir = 1/(A cos^3 theta), zero
+    outside the frustum — frustum check done via raster projection)."""
+    A = _persp_film_area(cam)
+    cos_t = jnp.einsum("nc,c->n", d_world, camera_forward(cam))
+    raster, on_film = project_to_raster(
+        cam, camera_position(cam)[None, :] + d_world)
+    ok = (cos_t > 1e-6) & on_film
+    return jnp.where(ok, 1.0 / jnp.maximum(A * cos_t ** 3, 1e-12), 0.0)
+
+
+def project_to_raster(cam: Camera, p_world):
+    """World point -> raster coordinates + on-film mask (the pinhole
+    WorldToRaster projection; ref: perspective.cpp Sample_Wi pRaster)."""
+    w2c = jnp.linalg.inv(cam.cam_to_world)
+    c2r = jnp.linalg.inv(cam.raster_to_camera)
+    p_cam = _apply44_point(w2c, p_world)
+    behind = p_cam[:, 2] <= 1e-6
+    raster = _apply44_point(c2r, p_cam)[:, :2]
+    res = cam.resolution.astype(jnp.float32)
+    on = ((~behind) & (raster[:, 0] >= 0.0) & (raster[:, 0] < res[0])
+          & (raster[:, 1] >= 0.0) & (raster[:, 1] < res[1]))
+    return raster, on
+
+
+def sample_wi(cam: Camera, p_ref):
+    """Sample the direction from p_ref to the (pinhole) camera
+    (ref: perspective.cpp PerspectiveCamera::Sample_Wi with
+    lensRadius = 0: position is a delta; pdf = dist^2 / cos theta;
+    importance We = 1/(A cos^4 theta)).
+
+    Returns dict(wi (N,3), we_over_pdf (N,) = We/pdf =
+    1/(A cos^3 theta dist^2), raster (N,2), valid (N,), dist (N,))."""
+    cam_p = camera_position(cam)
+    to_cam = cam_p[None, :] - p_ref
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(to_cam * to_cam, axis=-1), 1e-20))
+    wi = to_cam / dist[:, None]
+    cos_t = jnp.einsum("nc,c->n", -wi, camera_forward(cam))
+    raster, on_film = project_to_raster(cam, p_ref)
+    A = _persp_film_area(cam)
+    valid = (cos_t > 1e-6) & on_film
+    we_over_pdf = jnp.where(
+        valid, 1.0 / jnp.maximum(A * cos_t ** 3 * dist ** 2, 1e-20), 0.0)
+    return dict(wi=wi, we_over_pdf=we_over_pdf, raster=raster,
+                valid=valid, dist=dist)
+
+
+# ---------------------------------------------------------------------------
 # Hemispheric probe cameras (batched)
 # ---------------------------------------------------------------------------
 

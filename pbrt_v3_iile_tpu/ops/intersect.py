@@ -53,11 +53,16 @@ def _moller(o, d, p0, e1, e2, t_cur):
     return valid, t, u, v
 
 
-def intersect_bvh(scene, o, d, t_max, any_hit: bool = False) -> Hit:
+def intersect_bvh(scene, o, d, t_max, any_hit: bool = False,
+                  time=None) -> Hit:
     """Closest-hit (or any-hit) against the triangle BVH.
 
     o, d: (N,3); t_max: (N,).  Vectorized stack traversal: every loop
     iteration each live ray visits one node.
+    time: optional (N,) in [0,1] — object motion blur: leaf triangles are
+    lerped between the two stored keyframes at each ray's time (the
+    TransformedPrimitive role, ref: core/primitive.h; BVH bounds cover
+    the whole shutter, see scene/device.py).
     """
     N = o.shape[0]
     inv_d = jnp.where(jnp.abs(d) > 1e-12, 1.0 / jnp.where(d == 0, 1.0, d),
@@ -109,6 +114,9 @@ def intersect_bvh(scene, o, d, t_max, any_hit: bool = False) -> Hit:
             m = leaf_hit & (k < ncount)
             pidc = jnp.maximum(pid, 0)
             tr = jnp.take(scene.tris_packed, pidc, axis=0)  # (N,12)
+            if time is not None:
+                tr_e = jnp.take(scene.tris_end_packed, pidc, axis=0)
+                tr = tr + time[:, None] * (tr_e - tr)
             tv, tt, tu, tvv = _moller(o, d, tr[:, 0:3], tr[:, 3:6],
                                       tr[:, 6:9], t)
             upd = m & tv
@@ -210,12 +218,17 @@ def _coherence_key(scene, o, d):
 
 def intersect(scene, o, d, t_max, any_hit: bool = False,
               use_pallas: bool = False, sort: bool = False,
-              accel: str = "bvh") -> Hit:
+              accel: str = "bvh", time=None) -> Hit:
     """Full scene intersection: aggregate triangles + analytic spheres.
 
     accel selects the aggregate statically ("bvh" | "kdtree", ref:
     api.cpp MakeAccelerator); the Pallas packet kernel is BVH-only, so
-    kdtree implies the XLA walker."""
+    kdtree implies the XLA walker.  time enables object motion blur and
+    statically selects the XLA walker (the packet kernel has no keyframe
+    lerp)."""
+    if time is not None:
+        hit = intersect_bvh(scene, o, d, t_max, any_hit=any_hit, time=time)
+        return intersect_spheres(scene, o, d, hit)
     if accel == "kdtree" and not use_pallas:
         from . import kdtree as kdlib
         hit = kdlib.intersect_kd(scene, o, d, t_max, any_hit=any_hit)
@@ -242,10 +255,12 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
 
 
 def occluded(scene, o, d, t_max, use_pallas: bool = False,
-             sort: bool = False, accel: str = "bvh") -> jnp.ndarray:
+             sort: bool = False, accel: str = "bvh",
+             time=None) -> jnp.ndarray:
     """Shadow-ray IntersectP equivalent (ref: scene.cpp:56)."""
     return intersect(scene, o, d, t_max, any_hit=True,
-                     use_pallas=use_pallas, sort=sort, accel=accel).valid
+                     use_pallas=use_pallas, sort=sort, accel=accel,
+                     time=time).valid
 
 
 class Interaction(NamedTuple):
@@ -260,7 +275,7 @@ class Interaction(NamedTuple):
     valid: jnp.ndarray    # (N,) bool
 
 
-def make_interaction(scene, o, d, hit: Hit) -> Interaction:
+def make_interaction(scene, o, d, hit: Hit, time=None) -> Interaction:
     T = scene.tri_p0.shape[0]
     is_sph = hit.prim >= T
     tri_id = jnp.clip(hit.prim, 0, T - 1)
@@ -271,6 +286,13 @@ def make_interaction(scene, o, d, hit: Hit) -> Interaction:
     # triangle attributes
     ng_t = jnp.take(scene.tri_ng, tri_id, axis=0)
     ns_tri = jnp.take(scene.tri_ns, tri_id, axis=0)       # (N,3,3)
+    if time is not None:
+        # motion blur: lerp normals between keyframes (matches the
+        # lerped vertex positions; renormalized below / by face_forward)
+        ng_e = jnp.take(scene.tri_ng_end, tri_id, axis=0)
+        ns_e = jnp.take(scene.tri_ns_end, tri_id, axis=0)
+        ng_t = vm.normalize(ng_t + time[:, None] * (ng_e - ng_t))
+        ns_tri = ns_tri + time[:, None, None] * (ns_e - ns_tri)
     b0 = 1.0 - hit.b1 - hit.b2
     ns_t = (
         b0[:, None] * ns_tri[:, 0]

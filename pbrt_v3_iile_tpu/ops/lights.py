@@ -46,6 +46,54 @@ def choose_light(scene, u):
     return idx, pdf
 
 
+def _spatial_voxel(scene, p):
+    """World point -> flat voxel index of the spatial light grid
+    (ref: lightdistrib.cpp SpatialLightDistribution::Lookup)."""
+    res = scene.spatial_res
+    ext = jnp.maximum(scene.world_max - scene.world_min, 1e-6)
+    q = ((p - scene.world_min[None, :]) / ext[None, :]
+         * res[None, :].astype(jnp.float32)).astype(jnp.int32)
+    q = jnp.clip(q, 0, res[None, :] - 1)
+    return (q[:, 2] * res[1] + q[:, 1]) * res[0] + q[:, 0]
+
+
+def choose_light_spatial(scene, u, p):
+    """Position-aware light selection from the per-voxel distribution
+    (ref: lightdistrib.h:100 SpatialLightDistribution).  Falls back to
+    the global table when the grid is 1 voxel (strategy != spatial).
+    Returns (light_id, select_pdf)."""
+    V = scene.spatial_cdf.shape[0]
+    v = jnp.clip(_spatial_voxel(scene, p), 0, V - 1)
+    cdf = jnp.take(scene.spatial_cdf, v, axis=0)          # (N, L)
+    idx = jnp.sum((cdf < u[:, None]).astype(jnp.int32), axis=-1)
+    idx = jnp.clip(idx, 0, jnp.maximum(scene.n_lights - 1, 0))
+    pdf_rows = jnp.take(scene.spatial_pdf, v, axis=0)
+    pdf = jnp.take_along_axis(pdf_rows, idx[:, None], axis=-1)[:, 0]
+    return idx.astype(jnp.int32), pdf
+
+
+def light_select_pdf_spatial(scene, p, lid):
+    """Selection pdf of light lid when sampling from point p under the
+    spatial distribution (the MIS counterpart of choose_light_spatial)."""
+    V = scene.spatial_cdf.shape[0]
+    v = jnp.clip(_spatial_voxel(scene, p), 0, V - 1)
+    pdf_rows = jnp.take(scene.spatial_pdf, v, axis=0)
+    return jnp.take_along_axis(
+        pdf_rows, jnp.maximum(lid, 0)[:, None], axis=-1)[:, 0]
+
+
+def infinite_select_pdf_spatial(scene, p):
+    """Sum of selection pdfs of all infinite lights at p (env-escape
+    MIS weight under the spatial distribution)."""
+    V = scene.spatial_cdf.shape[0]
+    v = jnp.clip(_spatial_voxel(scene, p), 0, V - 1)
+    pdf_rows = jnp.take(scene.spatial_pdf, v, axis=0)     # (N, L)
+    Ls = scene.light_kind.shape[0]
+    live = jnp.arange(Ls) < scene.n_lights
+    m = (scene.light_kind == 2) & live
+    return jnp.sum(jnp.where(m[None, :], pdf_rows, 0.0), axis=-1)
+
+
 def _sample_light_triangle(scene, light_id, u):
     """Area-weighted triangle pick within a light's range via masked
     search over the flat per-light CDF (K is small)."""

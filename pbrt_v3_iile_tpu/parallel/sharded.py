@@ -54,11 +54,11 @@ def sharded_render_pass(sd, mesh, cfg=None):
         check_rep=False)
     def pass_rows(scene, cam, key, pass_idx, rows):
         # rows: (CH,) absolute row indices for this shard (contiguous)
-        o, d, w, jitter, k, ctx = prep(cam, key, pass_idx, rows[0])
+        o, d, w, jitter, k, ctx, rtime = prep(cam, key, pass_idx, rows[0])
         beta0 = (jnp.broadcast_to(w[:, None], (w.shape[0], 3))
                  if is_realistic else None)
         L, _ = pathlib_.trace_paths(scene, o, d, k, cfg, beta0=beta0,
-                                    sample_ctx=ctx)
+                                    sample_ctx=ctx, time=rtime)
         return L.reshape(CH, W, 3), jitter.reshape(CH, W, 2)
 
     def run(scene, cam, key, pass_idx):

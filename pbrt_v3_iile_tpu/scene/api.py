@@ -230,13 +230,16 @@ class SceneDesc:
         self.named_media: dict[str, int] = {}
         self.camera_medium: int = -1
         self.n_triangles = 0
+        self.has_motion = False    # any animated shape (object motion blur)
 
     def add_triangles(self, p, n, uv, mat_id, light_id=-1,
-                      med_in=-1, med_out=-1):
+                      med_in=-1, med_out=-1, p_end=None, n_end=None):
         cnt = p.shape[0]
         if cnt == 0:
             return self.n_triangles
         start = self.n_triangles
+        if p_end is not None:
+            self.has_motion = True
         self.tri_blocks.append(
             dict(
                 p=p.astype(np.float32),
@@ -246,6 +249,8 @@ class SceneDesc:
                 light=np.full(cnt, light_id, dtype=np.int32),
                 med_in=np.full(cnt, med_in, dtype=np.int32),
                 med_out=np.full(cnt, med_out, dtype=np.int32),
+                p_end=None if p_end is None else p_end.astype(np.float32),
+                n_end=None if n_end is None else n_end.astype(np.float32),
             )
         )
         self.n_triangles += cnt
@@ -790,11 +795,13 @@ class Api:
     def Shape(self, kind, ps: ParamSet):
         if self.recording is not None:
             self.objects[self.recording].append((kind, ps, self.ctm.copy(),
-                                                 self.gs.copy()))
+                                                 self.gs.copy(),
+                                                 self.ctm_end.copy()))
             return
-        self._emit_shape(kind, ps, self.ctm, self.gs)
+        self._emit_shape(kind, ps, self.ctm, self.gs,
+                         ctm_end=self.ctm_end)
 
-    def _emit_shape(self, kind, ps, ctm, gs):
+    def _emit_shape(self, kind, ps, ctm, gs, ctm_end=None):
         sd = self.scene
         light_id = -1
         if gs.area_light is not None:
@@ -825,8 +832,20 @@ class Api:
         if tri is None:
             return
         p, n, uv = tri
+        # object motion blur: a differing end-time CTM makes this shape a
+        # TransformedPrimitive with AnimatedTransform semantics (ref:
+        # core/primitive.h TransformedPrimitive, transform.h:412):
+        # geometry at both keyframes is stored and lerped per ray time
+        p_end = n_end = None
+        if ctm_end is not None and not np.allclose(ctm_end, ctm):
+            tri_e = shapelib.create_triangles(kind, ps, ctm_end,
+                                              gs.reverse_orientation,
+                                              self.base_dir)
+            if tri_e is not None:
+                p_end, n_end, _ = tri_e
         start = sd.add_triangles(p, n, uv, gs.material_index, light_id,
-                                 med_in=gs.medium_in, med_out=gs.medium_out)
+                                 med_in=gs.medium_in, med_out=gs.medium_out,
+                                 p_end=p_end, n_end=n_end)
         if light_id >= 0:
             sd.lights[light_id].tri_start = start
             sd.lights[light_id].tri_count = p.shape[0]
@@ -847,9 +866,10 @@ class Api:
         if name not in self.objects:
             return
         base_inv = xf.inverse(self.record_base_ctm) if self.record_base_ctm is not None else xf.identity()
-        for kind, ps, shape_ctm, gs in self.objects[name]:
+        for kind, ps, shape_ctm, gs, shape_ctm_end in self.objects[name]:
             final = self.ctm @ base_inv @ shape_ctm
-            self._emit_shape(kind, ps, final, gs)
+            final_end = self.ctm_end @ base_inv @ shape_ctm_end
+            self._emit_shape(kind, ps, final, gs, ctm_end=final_end)
 
 
 def load_scene(path: str) -> SceneDesc:

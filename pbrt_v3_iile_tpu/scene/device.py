@@ -30,6 +30,14 @@ class DeviceScene(NamedTuple):
     tri_uv: jnp.ndarray      # (T,3,2)
     tri_mat: jnp.ndarray     # (T,) i32
     tri_light: jnp.ndarray   # (T,) i32, -1 = not emissive
+    # --- object motion blur (TransformedPrimitive/AnimatedTransform,
+    # ref: core/primitive.h + transform.h:412): end-of-shutter keyframe,
+    # lerped per ray time inside the triangle test.  Static scenes carry
+    # (1,...) placeholders; the BVH is built over the union of both
+    # keyframes' bounds so traversal stays conservative for any time. ---
+    tris_end_packed: jnp.ndarray  # (T,12) or (1,12) f32: p0,e1,e2 @ t1
+    tri_ng_end: jnp.ndarray       # (T,3) or (1,3)
+    tri_ns_end: jnp.ndarray       # (T,3,3) or (1,3,3)
     # --- BVH (LinearBVHNode layout, ref bvh.cpp:95) ---
     node_min: jnp.ndarray    # (M,3)
     node_max: jnp.ndarray    # (M,3)
@@ -128,6 +136,12 @@ class DeviceScene(NamedTuple):
     # --- world ---
     world_min: jnp.ndarray   # (3,)
     world_max: jnp.ndarray   # (3,)
+    # --- SpatialLightDistribution (ref: lightdistrib.h:100): per-voxel
+    # light-selection pdf/cdf over a world-bounds grid; (1, L) uniform
+    # tables when the strategy is not "spatial" ---
+    spatial_pdf: jnp.ndarray  # (V, L) f32
+    spatial_cdf: jnp.ndarray  # (V, L) f32
+    spatial_res: jnp.ndarray  # (3,) i32 grid resolution (1,1,1 if off)
     world_radius: jnp.ndarray  # ()
     # --- optional kd-tree aggregate (ref: accelerators/kdtreeaccel.cpp;
     # built when the scene says Accelerator "kdtree" — ops/kdtree.py) ---
@@ -169,6 +183,13 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         m_out = np.concatenate([b.get("med_out", np.full(b["p"].shape[0], -1,
                                                          np.int32))
                                 for b in sd.tri_blocks])
+        p_end = np.concatenate(
+            [b["p_end"] if b.get("p_end") is not None else b["p"]
+             for b in sd.tri_blocks], axis=0)
+        ns_end = np.concatenate(
+            [b["n_end"] if b.get("n_end") is not None
+             else (b["n"] if b["n"] is not None else _smooth_from_geo(b["p"]))
+             for b in sd.tri_blocks], axis=0)
     else:
         p = np.zeros((1, 3, 3), np.float32)
         ns = np.zeros((1, 3, 3), np.float32)
@@ -177,17 +198,34 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         lig = np.full(1, -1, np.int32)
         m_in = np.full(1, -1, np.int32)
         m_out = np.full(1, -1, np.int32)
+        p_end = p
+        ns_end = ns
 
-    flat = bvhlib.build_bvh(p, use_native=use_native_bvh)
+    has_motion = bool(getattr(sd, "has_motion", False))
+    if has_motion:
+        # BVH bounds must cover the whole shutter: build over the union
+        # of both keyframes (the numpy builder only consumes per-prim
+        # bounds/centroids so the (T,6,3) stack is valid input)
+        flat = bvhlib.build_bvh(np.concatenate([p, p_end], axis=1),
+                                use_native=False)
+    else:
+        flat = bvhlib.build_bvh(p, use_native=use_native_bvh)
     order = flat.prim_order
     p, ns, uv, mat, lig = p[order], ns[order], uv[order], mat[order], lig[order]
     m_in, m_out = m_in[order], m_out[order]
+    p_end, ns_end = p_end[order], ns_end[order]
+
+    def _geo_normal(pp):
+        e1_ = pp[:, 1] - pp[:, 0]
+        e2_ = pp[:, 2] - pp[:, 0]
+        ng_ = np.cross(e1_, e2_)
+        a2 = np.linalg.norm(ng_, axis=-1, keepdims=True)
+        return np.where(a2 > 1e-20, ng_ / np.maximum(a2, 1e-20), 0.0)
 
     e1 = p[:, 1] - p[:, 0]
     e2 = p[:, 2] - p[:, 0]
-    ng = np.cross(e1, e2)
-    area2 = np.linalg.norm(ng, axis=-1, keepdims=True)
-    ng = np.where(area2 > 1e-20, ng / np.maximum(area2, 1e-20), 0.0)
+    ng = _geo_normal(p)
+    ng_end = _geo_normal(p_end) if has_motion else ng[:1]
 
     # ---- spheres (padded to >=1) ----
     S = max(1, len(sd.spheres))
@@ -469,6 +507,58 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         lpdf = np.full(L, 1.0 / max(nl, 1), np.float32)
     lcdf = np.cumsum(lpdf).astype(np.float32)
 
+    # ---- SpatialLightDistribution (ref: lightdistrib.h:100
+    # SpatialLightDistribution + lightdistrib.cpp ComputeDistribution):
+    # voxelize the world bounds; per voxel, weight each light by its
+    # estimated unoccluded contribution ~ power / max(d^2, diag^2/4) to
+    # the voxel center (distant/infinite lights count as constant).
+    # Precomputed densely at build time (the reference fills its hash
+    # table lazily per thread; on TPU a dense table is a single gather).
+    if sd.integrator.light_strategy == "spatial" and nl > 0:
+        ext = np.maximum(wmax - wmin, 1e-6)
+        max_ext = float(ext.max())
+        res = np.clip((ext / max_ext * 16.0).astype(np.int64), 1, 16)
+        # light reference positions (centroid of emitting geometry)
+        lref = np.zeros((L, 3), np.float64)
+        has_pos = np.zeros(L, bool)
+        for i, lrec in enumerate(sd.lights):
+            if lrec.kind in (apilib.LIGHT_POINT, apilib.LIGHT_SPOT,
+                             apilib.LIGHT_GONIO, apilib.LIGHT_PROJECTION):
+                lref[i] = lpos[i]
+                has_pos[i] = True
+            elif lrec.kind == apilib.LIGHT_AREA_SPHERE:
+                lref[i] = sd.spheres[lrec.sphere_index]["center"]
+                has_pos[i] = True
+            elif lrec.kind == apilib.LIGHT_AREA_TRI and l_cnt[i] > 0:
+                tr = tri_p_orig[tri_light_orig == i]
+                if tr.size:
+                    lref[i] = tr.reshape(-1, 3).mean(axis=0)
+                    has_pos[i] = True
+        gz, gy, gx = np.meshgrid(
+            (np.arange(res[2]) + 0.5) / res[2],
+            (np.arange(res[1]) + 0.5) / res[1],
+            (np.arange(res[0]) + 0.5) / res[0], indexing="ij")
+        centers = (wmin[None, :]
+                   + np.stack([gx, gy, gz], axis=-1).reshape(-1, 3) * ext)
+        V = centers.shape[0]
+        diag2 = float(np.sum((ext / res.astype(np.float64)) ** 2))
+        d2 = np.sum((centers[:, None, :] - lref[None, :, :]) ** 2,
+                    axis=-1)                                    # (V, L)
+        contrib = powers[None, :] / np.maximum(d2, 0.25 * diag2)
+        const = powers[None, :] / max(np.pi * wradius * wradius, 1e-9)
+        contrib = np.where(has_pos[None, :], contrib, const)
+        contrib[:, nl:] = 0.0
+        tot = contrib.sum(axis=1, keepdims=True)
+        # voxels that see nothing fall back to the global distribution
+        spat_pdf = np.where(tot > 0, contrib / np.maximum(tot, 1e-30),
+                            lpdf[None, :]).astype(np.float32)
+        spat_cdf = np.cumsum(spat_pdf, axis=1).astype(np.float32)
+        spat_res = res[:3].astype(np.int32)
+    else:
+        spat_pdf = lpdf[None, :]
+        spat_cdf = lcdf[None, :]
+        spat_res = np.ones(3, np.int32)
+
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)
 
@@ -498,6 +588,14 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     Tp = ((T_tris + 127) // 128) * 128
     tris_t = np.zeros((12, Tp), np.float32)
     tris_t[:, :T_tris] = tris_packed.T
+    if has_motion:
+        tris_end_packed = np.zeros((T_tris, 12), np.float32)
+        tris_end_packed[:, 0:3] = p_end[:, 0]
+        tris_end_packed[:, 3:6] = p_end[:, 1] - p_end[:, 0]
+        tris_end_packed[:, 6:9] = p_end[:, 2] - p_end[:, 0]
+    else:
+        tris_end_packed = np.zeros((1, 12), np.float32)
+        ns_end = ns[:1]
 
     # ray-cone texture filter inputs (scene/textures.py module doc): the
     # per-triangle UV-area density converts a world-space cone radius to a
@@ -521,6 +619,8 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         tri_p0=f32(p[:, 0]), tri_e1=f32(e1), tri_e2=f32(e2),
         tri_ng=f32(ng), tri_ns=f32(ns), tri_uv=f32(uv),
         tri_mat=i32(mat), tri_light=i32(lig),
+        tris_end_packed=f32(tris_end_packed), tri_ng_end=f32(ng_end),
+        tri_ns_end=f32(ns_end),
         node_min=f32(flat.node_min), node_max=f32(flat.node_max),
         node_right=i32(flat.node_right), node_count=i32(flat.node_count),
         node_axis=i32(flat.node_axis),
@@ -561,6 +661,8 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         env_to_world=f32(env["to_world"]), env_world_to=f32(env["world_to"]),
         has_env_map=i32(env["has"]), env_light_id=i32(env["light_id"]),
         world_min=f32(wmin), world_max=f32(wmax),
+        spatial_pdf=f32(spat_pdf), spatial_cdf=f32(spat_cdf),
+        spatial_res=i32(spat_res),
         world_radius=f32(wradius),
         tri_uv_density=f32(uv_density), tex_theta=f32(tex_theta),
         tex_cone_o=f32(cone_o),

@@ -73,11 +73,18 @@ def write_png(path: str, img: np.ndarray) -> None:
         img = np.stack([img] * 3, axis=-1)
     h, w = img.shape[:2]
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
-    with open(path, "wb") as f:
+
+    def _emit(f):
         f.write(b"\x89PNG\r\n\x1a\n")
         f.write(_png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
         f.write(_png_chunk(b"IDAT", zlib.compress(raw, 6)))
         f.write(_png_chunk(b"IEND", b""))
+
+    if hasattr(path, "write"):  # file-like (e.g. the GUI's HTTP stream)
+        _emit(path)
+    else:
+        with open(path, "wb") as f:
+            _emit(f)
 
 
 def read_png(path: str) -> np.ndarray:

@@ -51,7 +51,7 @@ def main():
         key = jax.random.PRNGKey(0)
         t0 = time.time()
         try:
-            L, jit_, rays = run(scene, cam, key, jnp.int32(0), jnp.int32(0))
+            L, jit_, aux = run(scene, cam, key, jnp.int32(0), jnp.int32(0))
             L.block_until_ready()
         except Exception as e:
             log(f"staged={staged}: FAILED {type(e).__name__}: {e}")
@@ -60,10 +60,10 @@ def main():
         t0 = time.time()
         reps = 3
         for p in range(1, reps + 1):
-            L, jit_, rays = run(scene, cam, key, jnp.int32(p), jnp.int32(0))
+            L, jit_, aux = run(scene, cam, key, jnp.int32(p), jnp.int32(0))
         L.block_until_ready()
         dt = (time.time() - t0) / reps
-        r = int(rays)
+        r = int(aux["rays"])
         log(f"staged={staged}: warm pass {dt*1e3:.0f} ms, {r} rays "
             f"-> {r/dt/1e6:.2f} Mrays/s")
 

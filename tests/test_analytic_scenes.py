@@ -65,3 +65,57 @@ WorldEnd
     sd = apilib.load_scene_string(scene)
     img, _ = renderlib.render(sd, spp=2)
     assert np.allclose(img.mean(axis=(0, 1)), [2, 3, 4], rtol=0.02)
+
+
+# ---------------------------------------------------------------------------
+# scenes x samplers x integrators matrix (coverage model:
+# analytic_scenes.cpp:420-439 INSTANTIATE_TEST_CASE_P — the reference
+# crosses its analytic scenes with every sampler and integrator and
+# checks the image mean against the closed form)
+# ---------------------------------------------------------------------------
+
+def _gi_scene(sampler, integrator, depth, res=12):
+    txt = SPHERE_GI.replace(
+        'Integrator "path" "integer maxdepth" [12]',
+        f'Integrator "{integrator}" "integer maxdepth" [{depth}]\n'
+        f'Sampler "{sampler}" "integer pixelsamples" [8]').replace(
+        '"integer xresolution" [24] "integer yresolution" [24]',
+        f'"integer xresolution" [{res}] "integer yresolution" [{res}]')
+    return apilib.load_scene_string(txt)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("sampler", ["random", "sobol", "halton",
+                                     "stratified"])
+def test_matrix_path_samplers(sampler):
+    """Every sampler kind must converge to the same analytic mean
+    (ref: analytic_scenes.cpp crosses samplers x integrators)."""
+    sd = _gi_scene(sampler, "path", 12, res=16)
+    img, _ = renderlib.render(sd, spp=8)
+    assert abs(float(img.mean()) - 1.0) < 0.03, (sampler, img.mean())
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("integrator,depth,expect,tol", [
+    # NEE fires at bounces 0..maxDepth-1 -> vertices v1..v3 ->
+    # rho + rho^2 + rho^3 = 0.875 (pbrt path.cpp breaks BEFORE the NEE
+    # of bounce maxDepth; bdpt bounds s+t-2 <= maxDepth identically)
+    ("path", 3, 0.875, 0.02),
+    ("volpath", 3, 0.875, 0.02),      # no media -> identical transport
+    ("bdpt", 3, 0.875, 0.04),         # incl. t=1 splat strategies
+])
+def test_matrix_integrators(integrator, depth, expect, tol):
+    sd = _gi_scene("random", integrator, depth)
+    img, _ = renderlib.render(sd, spp=6)
+    assert abs(float(img.mean()) - expect) < tol, (integrator, img.mean())
+
+
+@pytest.mark.slow
+def test_matrix_mlt_sphere():
+    """PSSMLT on the GI sphere: unbiased wrt the same target (wider
+    tolerance — Metropolis normalization is itself Monte Carlo)."""
+    sd = _gi_scene("random", "mlt", 3)
+    from pbrt_v3_iile_tpu.integrators import mlt as mltlib
+    img, st = mltlib.render_mlt(sd, mutations_per_pixel=64, seed=0,
+                                use_pallas=False)
+    assert abs(float(img.mean()) - 0.875) < 0.1, img.mean()

@@ -131,3 +131,59 @@ def test_motion_blur_render_smears():
     cols_s = int((np.asarray(img_s).sum(axis=(0, 2)) > 1e-5).sum())
     cols_a = int((np.asarray(img_a).sum(axis=(0, 2)) > 1e-5).sum())
     assert cols_a > cols_s + 2, (cols_s, cols_a)
+
+
+def test_object_motion_blur_smears():
+    """Object motion blur (TransformedPrimitive role, ref: primitive.h +
+    transform.h:412): a quad translating across the shutter under a
+    static camera smears over more columns than the static render, and
+    both shutter endpoints receive energy."""
+    from pbrt_v3_iile_tpu.integrators import render as renderlib
+
+    base = """
+    LookAt 0 0 4  0 0 0  0 1 0
+    Camera "perspective" "float fov" [60]
+      "float shutteropen" [0] "float shutterclose" [1]
+    Film "image" "integer xresolution" [32] "integer yresolution" [32]
+    Sampler "random" "integer pixelsamples" [1]
+    Integrator "path" "integer maxdepth" [1]
+    WorldBegin
+    AttributeBegin
+      AreaLightSource "area" "color L" [5 5 5]
+      Material "matte" "color Kd" [0 0 0]
+      %s
+      Shape "trianglemesh" "point P" [-0.3 -2 0 0.3 -2 0 0.3 2 0 -0.3 2 0]
+        "integer indices" [0 1 2 2 3 0]
+    AttributeEnd
+    WorldEnd
+    """
+    static = base % ""
+    animated = ("TransformTimes 0 1\n" + base) % """ActiveTransform EndTime
+      Translate 1.5 0 0
+      ActiveTransform All"""
+    sd_a = apilib.load_scene_string(animated)
+    assert sd_a.has_motion
+    assert sd_a.camera.cam_to_world_end is None  # camera is static
+    img_s, _ = renderlib.render(apilib.load_scene_string(static), spp=8,
+                                use_pallas=False, use_native_bvh=False)
+    img_a, _ = renderlib.render(sd_a, spp=8,
+                                use_pallas=False, use_native_bvh=False)
+    cols_s = int((np.asarray(img_s).sum(axis=(0, 2)) > 1e-5).sum())
+    cols_a = int((np.asarray(img_a).sum(axis=(0, 2)) > 1e-5).sum())
+    assert cols_a > cols_s + 2, (cols_s, cols_a)
+    # energy is conserved-ish: blur spreads, does not create light
+    assert np.asarray(img_a).sum() < np.asarray(img_s).sum() * 1.2
+
+
+def test_static_scene_has_no_motion_flag():
+    sd = apilib.load_scene_string("""
+    LookAt 0 0 4  0 0 0  0 1 0
+    Camera "perspective" "float fov" [60]
+    Film "image" "integer xresolution" [8] "integer yresolution" [8]
+    WorldBegin
+    Material "matte" "color Kd" [0.5 0.5 0.5]
+    Shape "trianglemesh" "point P" [-1 -1 0 1 -1 0 1 1 0 -1 1 0]
+      "integer indices" [0 1 2 2 3 0]
+    WorldEnd
+    """)
+    assert not sd.has_motion

@@ -155,3 +155,13 @@ def test_interactive_viewer_protocol(tmp_path):
     for name in ("interactiveExpected.png", "interactiveResult.png",
                  "interactiveLow.png", "interactiveBlurred.png"):
         assert (tmp_path / name).exists()
+
+
+def test_bsdftest_tool():
+    """bsdftest harness (src/tools/bsdftest.cpp role): every model's
+    three reflectance estimators must agree."""
+    from pbrt_v3_iile_tpu.cli import tools
+
+    rc = tools.main(["bsdftest", "--n", "8192",
+                     "--models", "matte,plastic,metal,disney"])
+    assert rc == 0
