@@ -65,6 +65,9 @@ def main(argv=None):
                     help="film checkpoint file for resumable renders")
     ap.add_argument("--checkpointEvery", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--multihost", action="store_true",
+                    help="initialize the cross-host process group "
+                    "(PBRT_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -74,6 +77,11 @@ def main(argv=None):
     from ..integrators import render as renderlib
     from ..utils import image as imglib
 
+    if args.multihost:
+        from ..parallel import distributed
+        multi = distributed.maybe_initialize()
+        print(f"multihost: {distributed.process_info()}"
+              if multi else "multihost: single process", flush=True)
     if args.stats:
         # per-stage wall-time + counter collection (the stats.h role;
         # forces device sync per stage, so off by default)

@@ -249,6 +249,58 @@ def cmd_bsdftest(argv):
     return 1 if failures else 0
 
 
+def cmd_histogram(argv):
+    """Luminance histogram of an image (tools/gen_histograms.py role):
+    prints bucket counts + summary stats for exposure debugging."""
+    import argparse
+
+    import numpy as np
+
+    ap = argparse.ArgumentParser(prog="tools histogram")
+    ap.add_argument("image")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--log", action="store_true",
+                    help="log-spaced buckets")
+    args = ap.parse_args(argv)
+    img = _load(args.image)
+    lum = (img * np.array([0.212671, 0.715160, 0.072169])).sum(axis=-1)
+    lo, hi = float(lum.min()), float(lum.max())
+    print(f"min {lo:.5g}  max {hi:.5g}  mean {float(lum.mean()):.5g}  "
+          f"median {float(np.median(lum)):.5g}")
+    if args.log:
+        edges = np.geomspace(max(lo, 1e-6), max(hi, 1e-6),
+                             args.buckets + 1)
+    else:
+        edges = np.linspace(lo, hi + 1e-9, args.buckets + 1)
+    counts, _ = np.histogram(lum, bins=edges)
+    width = max(counts.max(), 1)
+    for c, e0, e1 in zip(counts, edges[:-1], edges[1:]):
+        bar = "#" * int(40 * c / width)
+        print(f"[{e0:10.4g},{e1:10.4g}) {c:8d} {bar}")
+    return 0
+
+
+def cmd_flipnz(argv):
+    """Flip the sign of normal-map Z channels in PFM files
+    (tools/flipNZ.py role — fixes handedness of exported normal maps)."""
+    import argparse
+
+    import numpy as np
+
+    from ..utils import image as imglib
+
+    ap = argparse.ArgumentParser(prog="tools flipnz")
+    ap.add_argument("inputs", nargs="+")
+    args = ap.parse_args(argv)
+    for path in args.inputs:
+        img = imglib.read_pfm(path)
+        img = np.asarray(img).copy()
+        img[..., 2] = -img[..., 2]
+        imglib.write_pfm(path, img)
+        print(f"flipped NZ: {path}")
+    return 0
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
@@ -265,6 +317,10 @@ def main(argv=None):
         return cmd_benchmark(rest)
     if cmd == "bsdftest":
         return cmd_bsdftest(rest)
+    if cmd == "histogram":
+        return cmd_histogram(rest)
+    if cmd == "flipnz":
+        return cmd_flipnz(rest)
     print(f"unknown tool {cmd}")
     return 1
 

@@ -87,11 +87,11 @@ def infinite_select_pdf_spatial(scene, p):
     MIS weight under the spatial distribution)."""
     V = scene.spatial_cdf.shape[0]
     v = jnp.clip(_spatial_voxel(scene, p), 0, V - 1)
-    pdf_rows = jnp.take(scene.spatial_pdf, v, axis=0)     # (N, L)
+    pdf_rows = jnp.take(scene.spatial_pdf, v, axis=0)     # (N, Lp >= L)
     Ls = scene.light_kind.shape[0]
     live = jnp.arange(Ls) < scene.n_lights
     m = (scene.light_kind == 2) & live
-    return jnp.sum(jnp.where(m[None, :], pdf_rows, 0.0), axis=-1)
+    return jnp.sum(jnp.where(m[None, :], pdf_rows[:, :Ls], 0.0), axis=-1)
 
 
 def _sample_light_triangle(scene, light_id, u):

@@ -558,6 +558,17 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         spat_pdf = lpdf[None, :]
         spat_cdf = lcdf[None, :]
         spat_res = np.ones(3, np.int32)
+    # pad rows to >=8 lanes: TPU gathers are row-granular; 2-float rows
+    # gather pathologically (same rationale as the (M,8) nodes_packed)
+    Lp = ((max(spat_pdf.shape[1], 1) + 7) // 8) * 8
+    if spat_pdf.shape[1] < Lp:
+        pad_n = Lp - spat_pdf.shape[1]
+        spat_pdf = np.concatenate(
+            [spat_pdf, np.zeros((spat_pdf.shape[0], pad_n), np.float32)], 1)
+        # cdf pad = 2.0 so (cdf < u) never counts a padded slot
+        spat_cdf = np.concatenate(
+            [spat_cdf, np.full((spat_cdf.shape[0], pad_n), 2.0,
+                               np.float32)], 1)
 
     f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     i32 = lambda a: jnp.asarray(a, dtype=jnp.int32)

@@ -108,3 +108,44 @@ def test_sharded_iile_pipeline():
     # compare at the distribution level
     assert abs(direct.mean() - dir1.mean()) / max(dir1.mean(), 1e-9) < 0.15
     assert abs(comb.mean() - comb1.mean()) / max(comb1.mean(), 1e-9) < 0.25
+
+
+def test_distributed_no_op_single_process():
+    """maybe_initialize with no configuration must be a safe no-op."""
+    from pbrt_v3_iile_tpu.parallel import distributed
+
+    assert distributed.maybe_initialize() is False
+    info = distributed.process_info()
+    assert info["process_count"] == 1
+
+
+def test_geometry_sharded_intersect_matches_replicated():
+    """BVH-sharded traversal (geometry split over 8 devices, closest-hit
+    all-reduce) must agree with the single-BVH walker exactly."""
+    from pbrt_v3_iile_tpu.parallel import mesh as meshlib, sharded
+    from pbrt_v3_iile_tpu.scene import api as apilib
+    from pbrt_v3_iile_tpu.integrators import render as renderlib
+    from pbrt_v3_iile_tpu.ops import intersect as isect
+
+    sd = apilib.load_scene_string(_SCENE_TEXT.replace(
+        '"integer xresolution" [32] "integer yresolution" [32]',
+        '"integer xresolution" [16] "integer yresolution" [16]'))
+    # add a second mesh so shards are non-trivial
+    scene, cam = renderlib.build(sd)
+    mesh = meshlib.make_mesh(8)
+    geo = sharded.shard_scene_geometry(scene, mesh)
+    f = sharded.sharded_geometry_intersect(scene, geo, mesh)
+
+    from pbrt_v3_iile_tpu.ops import camera as camlib
+    N = 256
+    rng = np.random.default_rng(0)
+    pix = jnp.asarray(rng.uniform(0, 16, (N, 2)).astype(np.float32))
+    o, d = camlib.generate_rays(cam, pix)
+    tm = jnp.full(N, 1e30)
+    hs = f(o, d, tm)
+    hr = isect.intersect_bvh(scene, o, d, tm)
+    assert np.array_equal(np.asarray(hs.valid), np.asarray(hr.valid))
+    np.testing.assert_allclose(np.asarray(hs.t)[np.asarray(hr.valid)],
+                               np.asarray(hr.t)[np.asarray(hr.valid)],
+                               rtol=1e-5)
+    assert np.array_equal(np.asarray(hs.prim), np.asarray(hr.prim))

@@ -165,3 +165,18 @@ def test_bsdftest_tool():
     rc = tools.main(["bsdftest", "--n", "8192",
                      "--models", "matte,plastic,metal,disney"])
     assert rc == 0
+
+
+def test_histogram_and_flipnz_tools(tmp_path):
+    import numpy as np
+    from pbrt_v3_iile_tpu.cli import tools
+    from pbrt_v3_iile_tpu.utils import image as imglib
+
+    img = np.random.default_rng(1).uniform(0, 2, (8, 8, 3)).astype(np.float32)
+    p = str(tmp_path / "t.pfm")
+    imglib.write_pfm(p, img)
+    assert tools.main(["histogram", p, "--buckets", "4"]) == 0
+    assert tools.main(["flipnz", p]) == 0
+    out = imglib.read_pfm(p)
+    np.testing.assert_allclose(out[..., 2], -img[..., 2], rtol=1e-6)
+    np.testing.assert_allclose(out[..., 0], img[..., 0], rtol=1e-6)
