@@ -26,14 +26,22 @@ TARGET_MRAYS = 100.0
 
 def _tpu_alive(timeout_s: int = 150) -> bool:
     """Probe the TPU in a subprocess (a wedged TPU relay can hang the
-    whole interpreter at import time)."""
+    whole interpreter at import time — and can even survive
+    subprocess.run's kill-and-communicate cleanup, so the probe uses
+    its own session + killpg)."""
     code = ("import jax, jax.numpy as jnp;"
             "assert float((jnp.ones((64,64))@jnp.ones((64,64))).sum())>0")
+    proc = subprocess.Popen([sys.executable, "-c", code],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL,
+                            start_new_session=True)
     try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return r.returncode == 0
+        return proc.wait(timeout=timeout_s) == 0
     except subprocess.TimeoutExpired:
+        try:
+            os.killpg(proc.pid, 9)
+        except (ProcessLookupError, PermissionError):
+            proc.kill()
         return False
 
 
@@ -124,30 +132,53 @@ def main():
     env = dict(os.environ, BENCH_CHILD="1")
     best = None
     for i in range(attempts):
+        # explicit Popen + escalation: a wedged relay can leave children
+        # unkillable via subprocess.run's cleanup (in-flight RPC threads
+        # block communicate()); write output to files instead of pipes
+        # and SIGKILL on deadline.
+        out_path = f"/tmp/bench_attempt_{os.getpid()}_{i}.out"
+        err_path = out_path + ".err"
+        with open(out_path, "w") as fo, open(err_path, "w") as fe:
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__)],
+                stdout=fo, stderr=fe, env=env,
+                start_new_session=True)
+            try:
+                rc = proc.wait(timeout=per_timeout)
+            except subprocess.TimeoutExpired:
+                rc = None
+                try:
+                    os.killpg(proc.pid, 9)
+                except (ProcessLookupError, PermissionError):
+                    proc.kill()
+                try:
+                    proc.wait(timeout=10)
+                except subprocess.TimeoutExpired:
+                    pass
         try:
-            r = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                               timeout=per_timeout, capture_output=True,
-                               text=True, env=env)
-        except subprocess.TimeoutExpired:
+            sys.stderr.write(open(err_path).read()[-2000:])
+            stdout_text = open(out_path).read()
+        except OSError:
+            stdout_text = ""
+        if rc is None:
             print(f"bench: attempt {i + 1} timed out (wedged relay?)",
                   file=sys.stderr)
             time.sleep(90)
             continue
-        sys.stderr.write(r.stderr[-2000:])
         line = None
-        for ln in r.stdout.splitlines():
+        for ln in stdout_text.splitlines():
             if ln.startswith("{"):
                 try:
                     line = json.loads(ln)
                 except json.JSONDecodeError:
                     pass
-        if r.returncode == 0 and line is not None:
+        if rc == 0 and line is not None:
             if best is None or line["value"] > best["value"]:
                 best = line
             if best["value"] >= 0.5 * TARGET_MRAYS:
                 break  # good enough signal; don't poke the relay again
         else:
-            print(f"bench: attempt {i + 1} failed rc={r.returncode}",
+            print(f"bench: attempt {i + 1} failed rc={rc}",
                   file=sys.stderr)
             time.sleep(60)
     if best is None:

@@ -37,6 +37,14 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
     has_media = len(media) > 0
     has_grid = any(getattr(m, "density", None) is not None for m in media)
     spatial = sd.integrator.light_strategy == "spatial"
+    # octant+Morton coherence sort before packet traversal: opt-in.
+    # The traversal microbenchmark (scripts/bench_traversal.py) shows the
+    # packet kernel within ~10% of its sorted throughput on killeroo-
+    # scale scenes, so the argsort isn't paid by default; PBRT_SORT_RAYS=1
+    # enables it for heavy-divergence scenes.
+    import os as _os
+    sort_rays = use_pallas and _os.environ.get("PBRT_SORT_RAYS", "") \
+        not in ("", "0")
     if kind in ("path", "volpath", "bdpt", "mlt", "sppm", "iispt"):
         # bdpt/mlt/sppm have their own drivers (integrators/bdpt.py,
         # mlt.py, sppm.py); this config carries the shared knobs
@@ -47,7 +55,7 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
             grid_media=has_grid,
             use_pallas=use_pallas, staged=use_pallas,
             has_hair=has_hair, accel=accel,
-            spatial_lights=spatial,
+            spatial_lights=spatial, sort_rays=sort_rays,
         )
     if kind == "directlighting":
         return pathlib_.PathConfig(
@@ -281,6 +289,8 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
     splat_acc = None
     from ..utils import stats as statslib
     t0 = time.time()
+    t_first = None
+    rays_first = None
     for p in range(start_pass, spp):
         if chunk_rows:
             Ls, Js = [], []
@@ -323,5 +333,11 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
         img = img + np.asarray(splat_acc[:H * W].reshape(H, W, 3)) / spp
     total_rays = int(ray_acc)
     dt = time.time() - t0
-    return img, dict(seconds=dt, rays=total_rays,
-                     mrays_per_s=total_rays / max(dt, 1e-9) / 1e6)
+    # warm rate excludes the compile-laden first pass when possible
+    if t_first is not None and spp - start_pass > 1:
+        warm_rays = total_rays - int(rays_first)
+        warm_dt = dt - (t_first - t0)
+        mrays = warm_rays / max(warm_dt, 1e-9) / 1e6
+    else:
+        mrays = total_rays / max(dt, 1e-9) / 1e6
+    return img, dict(seconds=dt, rays=total_rays, mrays_per_s=mrays)
