@@ -25,7 +25,10 @@ class ParamSet:
         typ, name = parts
         if typ in ("bool",):
             values = [v == "true" if isinstance(v, str) else bool(v) for v in values]
-        if typ in ("string", "texture", "bool"):
+        if typ == "spectrum" and values and isinstance(values[0], str):
+            # .spd filename form (ref: paramset.cpp AddSampledSpectrumFiles)
+            val = values if len(values) > 1 else values[0]
+        elif typ in ("string", "texture", "bool"):
             val = values if len(values) > 1 else values[0]
         elif typ == "integer":
             arr = np.asarray(values, dtype=np.int64)
@@ -78,6 +81,8 @@ class ParamSet:
             if default is None:
                 return None
             return np.asarray(default, dtype=np.float64)
+        if typ == "spectrum":
+            return _spectrum_rgb(v)
         v = np.ravel(np.asarray(v, dtype=np.float64))
         if typ == "blackbody":
             return _blackbody_rgb(v)
@@ -124,17 +129,24 @@ class ParamSet:
 
 
 def _blackbody_rgb(v):
-    """Blackbody [temperature, scale] -> linear RGB, normalized to max 1
-    then scaled (approximation of the reference's BlackbodyNormalized
-    spectrum path, spectrum.cpp)."""
+    """Blackbody [temperature, scale] -> linear RGB via full spectral
+    integration (ref: BlackbodyNormalized spectrum.cpp:45 + RGB
+    conversion; utils/spectrum.py)."""
+    from ..utils import spectrum as spectrumlib
+
     t = float(v[0])
     sc = float(v[1]) if v.size > 1 else 1.0
-    # Planck's law sampled at R/G/B representative wavelengths (610/550/465nm)
-    def planck(lam_nm):
-        lam = lam_nm * 1e-9
-        h, c, kb = 6.626e-34, 2.998e8, 1.3806e-23
-        return (2 * h * c * c) / (lam ** 5 * (np.exp(h * c / (lam * kb * t)) - 1.0))
+    return spectrumlib.blackbody_rgb(t, sc)
 
-    rgb = np.array([planck(610.0), planck(550.0), planck(465.0)])
-    m = rgb.max()
-    return (rgb / m if m > 0 else rgb) * sc
+
+def _spectrum_rgb(v):
+    """'spectrum'-typed parameter -> linear RGB: either a .spd filename
+    or inline (lambda, value) pairs (ref: paramset.cpp
+    AddSampledSpectrumFiles / AddSampledSpectrum)."""
+    from ..utils import spectrum as spectrumlib
+
+    if isinstance(v, str):
+        return spectrumlib.spd_file_to_rgb(v)
+    if isinstance(v, list) and v and isinstance(v[0], str):
+        return spectrumlib.spd_file_to_rgb(v[0])
+    return spectrumlib.spd_pairs_to_rgb(np.asarray(v, dtype=np.float64))

@@ -161,6 +161,11 @@ def _parse_params(stream: _TokenStream, pending):
                 values.append(_coerce(v))
         else:
             values.append(_coerce(nxt))
+        if decl.startswith("spectrum "):
+            # resolve .spd filenames relative to the scene file
+            values = [os.path.join(stream.directory, v)
+                      if isinstance(v, str) and not os.path.isabs(v) else v
+                      for v in values]
         ps.add(decl, values)
 
 
