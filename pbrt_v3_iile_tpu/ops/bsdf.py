@@ -23,6 +23,7 @@ from . import sampling as smp
 from ..scene.api import (
     MAT_NONE, MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL,
     MAT_UBER, MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_DISNEY, MAT_HAIR,
+    MAT_FOURIER,
 )
 from . import hair as hairlib
 
@@ -48,6 +49,9 @@ class BsdfParams(NamedTuple):
     h: jnp.ndarray = None    # (N,) hair fiber offset in [-1,1]
                              # (ref: hair.cpp h = -1 + 2*v); None when the
                              # caller has no uv (treated as h = 0)
+    fourier_id: jnp.ndarray = None  # (N,) i32 fourier table id (-1 none)
+    fourier: object = None   # shared FourierDev tables (static gate:
+                             # None when the scene has no fourier material)
 
 
 def roughness_to_alpha(rough):
@@ -111,6 +115,7 @@ def gather_params(scene, mat_id, uv=None, p=None,
         h = jnp.clip(-1.0 + 2.0 * v_coord, -0.9995, 0.9995)
     else:
         h = jnp.zeros(kind.shape, jnp.float32)
+    fourier = getattr(scene, "fourier", None)
     return BsdfParams(
         kind=kind,
         kd=kd, ks=ks,
@@ -118,6 +123,9 @@ def gather_params(scene, mat_id, uv=None, p=None,
         alpha=alpha, eta=g(scene.mat_eta),
         metal_eta=g(scene.mat_metal_eta), metal_k=g(scene.mat_metal_k),
         sigma=sigma, aux=g(scene.mat_aux), h=h,
+        fourier_id=(g(scene.mat_fourier_id) if fourier is not None
+                    else None),
+        fourier=fourier,
     )
 
 
@@ -251,10 +259,12 @@ def _lobe_weights(p: BsdfParams):
     """
     k = p.kind
     w_d = jnp.where((k == MAT_MATTE) | (k == MAT_PLASTIC) | (k == MAT_UBER)
-                    | (k == MAT_SUBSTRATE) | (k == MAT_TRANSLUCENT),
+                    | (k == MAT_SUBSTRATE) | (k == MAT_TRANSLUCENT)
+                    | (k == MAT_FOURIER),
                     _lum(p.kd), 0.0)
     w_g = jnp.where((k == MAT_PLASTIC) | (k == MAT_UBER)
-                    | (k == MAT_TRANSLUCENT), _lum(p.ks), 0.0)
+                    | (k == MAT_TRANSLUCENT) | (k == MAT_FOURIER),
+                    _lum(p.ks), 0.0)
     w_g = jnp.where(k == MAT_METAL, 1.0, w_g)
     w_g = jnp.where(k == MAT_HAIR, 1.0, w_g)
     w_g = jnp.where(k == MAT_SUBSTRATE, _lum(p.ks), w_g)
@@ -399,6 +409,17 @@ def evaluate(p: BsdfParams, wo, wi, enable_hair: bool = True):
          + jnp.where(valid_g[..., None], f_gloss, 0.0))
     pdf = (jnp.where(valid_d, w[..., 0] * pdf_diff, 0.0)
            + jnp.where(valid_g, w[..., 1] * pdf_gloss, 0.0))
+
+    # ---- exact FourierBSDF (ref: reflection.cpp FourierBSDF::f) ----
+    # f comes from the measured table; the pdf stays the proxy-lobe mix
+    # above (exact-f/proxy-pdf is unbiased; transmissive table entries
+    # get pdf 0 here, so MIS falls back to the light strategy for them).
+    if p.fourier is not None:
+        from . import fourierbsdf as fourierlib
+
+        is_fourier = p.kind == MAT_FOURIER
+        f_four = fourierlib.evaluate_device(p.fourier, p.fourier_id, wo, wi)
+        f = jnp.where(is_fourier[..., None], f_four, f)
 
     # ---- hair fiber lobe (full-sphere, ref: materials/hair.cpp) ----
     if enable_hair:

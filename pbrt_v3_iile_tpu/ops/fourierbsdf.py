@@ -249,3 +249,167 @@ def fit_lobes(table: FourierTable, n_dirs: int = 24):
     # the diffuse feature is 1/pi, so the coefficient IS the albedo
     return (np.clip(kd, 0.0, 1.0), np.clip(ks, 0.0, None), alpha,
             table.eta, resid)
+
+
+# ---------------------------------------------------------------------------
+# In-graph exact evaluation (TPU path)
+#
+# The variable-length per-(muI,muO) coefficient lists are densified at
+# scene build into a (T, nMu, nMu, m_cap, 3) array (orders above m_cap
+# truncated — high-frequency azimuthal detail only; a0, i.e. the energy,
+# is always exact).  evaluate_device() then mirrors FourierBSDF::f
+# (ref: reflection.cpp) with vectorized Catmull-Rom weights and a
+# Chebyshev cosine series, fully jittable over the wavefront.
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple
+
+
+class FourierDev(NamedTuple):
+    """Device-resident dense fourier tables (all tables of the scene)."""
+    mu: object        # (T, P) f32, padded by repeating the last node
+    n_mu: object      # (T,) i32 valid node counts
+    a: object         # (T, P, P, m_cap, 3) f32 dense coefficients (Y,R,B)
+    eta: object       # (T,) f32
+
+
+def densify(tables, m_cap: int = 128) -> FourierDev:
+    """Pack host FourierTables into one dense device structure."""
+    import jax.numpy as jnp
+
+    P = max(len(t.mu) for t in tables)
+    cap = min(max(t.m_max for t in tables), m_cap)
+    cap = max(cap, 1)
+    T = len(tables)
+    mu = np.zeros((T, P), np.float32)
+    n_mu = np.zeros(T, np.int32)
+    a = np.zeros((T, P, P, cap, 3), np.float32)
+    eta = np.ones(T, np.float32)
+    for ti, t in enumerate(tables):
+        n = len(t.mu)
+        mu[ti, :n] = t.mu
+        mu[ti, n:] = t.mu[-1]
+        n_mu[ti] = n
+        eta[ti] = t.eta
+        for i in range(n):
+            for j in range(n):
+                m = int(t.m[i, j])
+                if m == 0:
+                    continue
+                mm = min(m, cap)
+                off = int(t.a_offset[i, j])
+                if t.n_channels == 1:
+                    y = t.a[off:off + mm]
+                    a[ti, i, j, :mm, 0] = y
+                    a[ti, i, j, :mm, 1] = y
+                    a[ti, i, j, :mm, 2] = y
+                else:
+                    for c in range(3):
+                        a[ti, i, j, :mm, c] = t.a[off + c * m:
+                                                  off + c * m + mm]
+    return FourierDev(mu=jnp.asarray(mu), n_mu=jnp.asarray(n_mu),
+                      a=jnp.asarray(a), eta=jnp.asarray(eta))
+
+
+def _crw_device(mu, n_mu, x):
+    """Vectorized Catmull-Rom weights over per-ray node arrays
+    (ref: interpolation.cpp CatmullRomWeights; host twin
+    _catmull_rom_weights above).  mu (N,P), n_mu (N,), x (N,) ->
+    (offset (N,), weights (N,4), valid (N,))."""
+    import jax.numpy as jnp
+
+    N, P = mu.shape
+    cols = jnp.arange(P)[None, :]
+    in_range = cols < n_mu[:, None]
+    last = jnp.take_along_axis(mu, (n_mu - 1)[:, None], axis=1)[:, 0]
+    valid = (x >= mu[:, 0]) & (x <= last)
+    idx = jnp.sum(((mu <= x[:, None]) & in_range).astype(jnp.int32),
+                  axis=1) - 1
+    i = jnp.clip(idx, 0, n_mu - 2)
+
+    def node(k):
+        return jnp.take_along_axis(mu, jnp.clip(k, 0, P - 1)[:, None],
+                                   axis=1)[:, 0]
+
+    x0, x1 = node(i), node(i + 1)
+    xm, xp = node(i - 1), node(i + 2)
+    t = jnp.where(x1 > x0, (x - x0) / jnp.where(x1 > x0, x1 - x0, 1.0), 0.0)
+    t2, t3 = t * t, t * t * t
+    w0 = jnp.zeros_like(t)
+    w1 = 2 * t3 - 3 * t2 + 1
+    w2 = -2 * t3 + 3 * t2
+    w3 = jnp.zeros_like(t)
+    has_prev = i > 0
+    wp = (t3 - 2 * t2 + t) * jnp.where(has_prev, (x1 - x0)
+                                       / jnp.maximum(x1 - xm, 1e-12), 1.0)
+    w0 = jnp.where(has_prev, -wp, w0)
+    w2 = w2 + wp                       # both branches (host twin above)
+    w1 = jnp.where(has_prev, w1, w1 - wp)
+    has_next = (i + 2) < n_mu
+    wn = (t3 - t2) * jnp.where(has_next, (x1 - x0)
+                               / jnp.maximum(xp - x0, 1e-12), 1.0)
+    w3 = jnp.where(has_next, wn, w3)
+    w1 = w1 - wn
+    w2 = jnp.where(has_next, w2, w2 + wn)
+    w = jnp.stack([w0, w1, w2, w3], axis=-1)
+    return i - 1, jnp.where(valid[:, None], w, 0.0), valid
+
+
+def evaluate_device(ftab: FourierDev, fid, wo, wi):
+    """Exact FourierBSDF::f for the wavefront (ref: reflection.cpp
+    FourierBSDF::f).  fid (N,) table ids (clamped; callers mask by
+    material kind); wo/wi (N,3) in the shading frame.  Returns f (N,3)
+    including the 1/|muI| and radiance-transport eta^2 factors."""
+    import jax.numpy as jnp
+
+    fid = jnp.clip(fid, 0, ftab.mu.shape[0] - 1)
+    mu_i = -wi[..., 2]          # CosTheta(-wi)
+    mu_o = wo[..., 2]
+    # CosDPhi(-wi, wo) on the xy projections
+    ax, ay = -wi[..., 0], -wi[..., 1]
+    bx, by = wo[..., 0], wo[..., 1]
+    den = jnp.sqrt(jnp.maximum((ax * ax + ay * ay) * (bx * bx + by * by),
+                               1e-20))
+    cos_phi = jnp.clip((ax * bx + ay * by) / den, -1.0, 1.0)
+
+    mu_r = jnp.take(ftab.mu, fid, axis=0)         # (N,P)
+    n_r = jnp.take(ftab.n_mu, fid, axis=0)        # (N,)
+    oi, w_i, ok_i = _crw_device(mu_r, n_r, mu_i)
+    oo, w_o, ok_o = _crw_device(mu_r, n_r, mu_o)
+
+    m_cap = ftab.a.shape[3]
+    ak = jnp.zeros(wo.shape[:-1] + (m_cap, 3), jnp.float32)
+    P = ftab.mu.shape[1]
+    for a_ in range(4):
+        ia = oi + a_
+        va = (ia >= 0) & (ia < n_r)
+        for b_ in range(4):
+            ib = oo + b_
+            vb = (ib >= 0) & (ib < n_r)
+            w = w_i[..., a_] * w_o[..., b_]
+            use = va & vb & (w != 0.0)
+            coef = ftab.a[fid, jnp.clip(ia, 0, P - 1),
+                          jnp.clip(ib, 0, P - 1)]     # (N, m_cap, 3)
+            ak = ak + jnp.where(use[..., None, None], w[..., None, None]
+                                * coef, 0.0)
+
+    # cosine series: cos(k*phi) = T_k(cos_phi) via arccos (exact)
+    phi = jnp.arccos(cos_phi)
+    k = jnp.arange(m_cap, dtype=jnp.float32)
+    cos_k = jnp.cos(k[None, :] * phi[..., None])      # (N, m_cap)
+    vals = jnp.sum(ak * cos_k[..., None], axis=-2)    # (N,3) Y,R,B
+
+    scale = jnp.where(jnp.abs(mu_i) > 1e-9, 1.0 / jnp.maximum(
+        jnp.abs(mu_i), 1e-9), 0.0)
+    eta_t = jnp.take(ftab.eta, fid, axis=0)
+    # radiance transport: transmission (muI*muO > 0 in pbrt's signs)
+    eta_s = jnp.where(mu_i > 0, 1.0 / eta_t, eta_t)
+    scale = scale * jnp.where(mu_i * mu_o > 0, eta_s * eta_s, 1.0)
+
+    y = jnp.maximum(vals[..., 0] * scale, 0.0)
+    r = vals[..., 1] * scale
+    b = vals[..., 2] * scale
+    g = 1.39829 * y - 0.100913 * b - 0.297375 * r
+    f = jnp.stack([r, g, b], axis=-1)
+    f = jnp.where((ok_i & ok_o)[..., None], jnp.maximum(f, 0.0), 0.0)
+    return f

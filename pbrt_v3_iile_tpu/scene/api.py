@@ -98,6 +98,9 @@ class MaterialRecord:
     # disney extras [metallic, specTint, sheen, sheenTint, clearcoat,
     # clearcoatGloss, specTrans, flatness] (ref: materials/disney.cpp)
     aux: np.ndarray = None
+    # fourier: host table (ops/fourierbsdf.FourierTable) densified at
+    # device build; kd/ks/roughness above hold the sampling proxy
+    fourier_table: object = None
 
 
 @dataclasses.dataclass
@@ -528,8 +531,10 @@ class Api:
         m.kind = MATERIAL_IDS.get(kind, MAT_MATTE)
         if m.kind == MAT_FOURIER:
             # FourierBSDF (ref: materials/fourier.cpp): load the .bsdf
-            # table and project it onto the wavefront lobe system
-            # (ops/fourierbsdf.py fit_lobes); matte fallback on error
+            # table; render path evaluates it EXACTLY in-graph
+            # (ops/fourierbsdf.evaluate_device) while importance sampling
+            # uses lobe-fit proxies (kd/ks/alpha — unbiased: exact f over
+            # proxy pdf); matte fallback on read error
             m.kind = MAT_MATTE
             fname = ps.find_one_string("bsdffile", "")
             try:
@@ -538,15 +543,14 @@ class Api:
                     fname if os.path.isabs(fname)
                     else os.path.join(self.base_dir, fname))
                 kd, ks, alpha, eta, resid = fblib.fit_lobes(table)
-                m.kind = MAT_PLASTIC
+                m.kind = MAT_FOURIER
+                m.fourier_table = table
                 m.kd = np.asarray(kd, np.float32).reshape(3)
-                m.ks = np.asarray(ks, np.float32).reshape(3)
+                m.ks = np.maximum(np.asarray(ks, np.float32).reshape(3),
+                                  1e-3)
                 m.roughness = float(alpha)
                 m.eta = float(eta)
                 m.remap_roughness = False
-                if resid > 1e-2:
-                    print(f"warning: fourier table {fname}: lobe-fit "
-                          f"residual {resid:.3g}", file=sys.stderr)
             except Exception as e:
                 print(f"warning: fourier material '{fname}': {e}; "
                       f"degrading to matte", file=sys.stderr)

@@ -16,6 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import bvh as bvhlib
+from ..ops import fourierbsdf as fourierlib
 from . import api as apilib
 from . import textures as texlib
 
@@ -155,6 +156,10 @@ class DeviceScene(NamedTuple):
     tri_uv_density: jnp.ndarray = jnp.zeros(1, jnp.float32)  # (T,) sqrt(dUV/dA)
     tex_theta: jnp.ndarray = jnp.zeros((), jnp.float32)      # pixel cone angle
     tex_cone_o: jnp.ndarray = jnp.zeros(3, jnp.float32)      # cone apex (camera)
+    # --- exact FourierBSDF tables (ref: materials/fourier.cpp), dense
+    # (ops/fourierbsdf.FourierDev); None when the scene has none ---
+    mat_fourier_id: jnp.ndarray = jnp.full(1, -1, jnp.int32)  # (M,)
+    fourier: object = None
 
 
 def _pad(a, n, fill=0.0):
@@ -257,7 +262,12 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     ks_tex = np.full(M, -1, np.int32)
     sg_tex = np.full(M, -1, np.int32)
     ro_tex = np.full(M, -1, np.int32)
+    fr_id = np.full(M, -1, np.int32)
+    fourier_tables = []
     for i, m in enumerate(sd.materials):
+        if getattr(m, "fourier_table", None) is not None:
+            fr_id[i] = len(fourier_tables)
+            fourier_tables.append(m.fourier_table)
         kd_tex[i] = tex_ids.get(m.kd_tex, -1)
         ks_tex[i] = tex_ids.get(m.ks_tex, -1)
         sg_tex[i] = tex_ids.get(m.sigma_tex, -1)
@@ -646,6 +656,9 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         mat_vrough=f32(vro), mat_eta=f32(eta), mat_metal_eta=f32(meta),
         mat_metal_k=f32(mk_k), mat_sigma=f32(sigma), mat_remap=f32(remap),
         mat_aux=f32(mat_aux),
+        mat_fourier_id=i32(fr_id),
+        fourier=(fourierlib.densify(fourier_tables)
+                 if fourier_tables else None),
         mat_kd_tex=i32(kd_tex), mat_ks_tex=i32(ks_tex),
         mat_sigma_tex=i32(sg_tex), mat_rough_tex=i32(ro_tex),
         textures=tex_table,

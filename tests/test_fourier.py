@@ -58,6 +58,116 @@ def test_fourier_material_parses_and_fits():
     WorldEnd
     """)
     m = sd.materials[-1]
-    assert m.kind == apilib.MAT_PLASTIC
-    assert abs(float(np.mean(m.kd)) - 0.3) < 0.05
+    assert m.kind == apilib.MAT_FOURIER      # exact path kept
+    assert m.fourier_table is not None
+    assert abs(float(np.mean(m.kd)) - 0.3) < 0.05  # sampling proxy
+    os.unlink(f.name)
+
+
+def _glossy_test_table(n_mu=16, m=4):
+    """Synthetic 3-channel multi-order table: ak with decaying azimuthal
+    orders, channel-tinted (no analytic meaning — device/host parity
+    fixture)."""
+    t = fblib.FourierTable()
+    t.eta = 1.2
+    t.m_max = m
+    t.n_channels = 3
+    t.mu = np.linspace(-1.0, 1.0, n_mu)
+    t.m = np.full((n_mu, n_mu), m, np.int32)
+    t.a_offset = (np.arange(n_mu * n_mu, dtype=np.int64)
+                  .reshape(n_mu, n_mu) * 3 * m)
+    a = np.zeros(n_mu * n_mu * 3 * m)
+    tint = [1.0, 0.8, 0.5]
+    for i in range(n_mu):
+        for j in range(n_mu):
+            base = (i * n_mu + j) * 3 * m
+            amp = 0.2 * abs(t.mu[i]) * (0.5 + 0.5 * abs(t.mu[j]))
+            for c in range(3):
+                for k in range(m):
+                    a[base + c * m + k] = amp * tint[c] / (1.0 + k * k)
+    t.a = a
+    t.cdf = np.zeros((n_mu, n_mu))
+    return t
+
+
+def test_device_evaluation_matches_host():
+    """evaluate_device (in-graph, dense) == evaluate (host, exact) on a
+    multi-order 3-channel table across reflection and transmission."""
+    import jax.numpy as jnp
+
+    t = _glossy_test_table()
+    dev = fblib.densify([t])
+    rng = np.random.default_rng(3)
+    n = 64
+    # random directions, both hemispheres for wi
+    def rand_dir(sign=None):
+        v = rng.normal(size=(n, 3))
+        v /= np.linalg.norm(v, axis=-1, keepdims=True)
+        if sign is not None:
+            v[:, 2] = np.abs(v[:, 2]) * sign
+        return v
+    wo = rand_dir(+1.0)
+    wi = rng.normal(size=(n, 3))
+    wi /= np.linalg.norm(wi, axis=-1, keepdims=True)
+    fid = jnp.zeros(n, jnp.int32)
+    got = np.asarray(fblib.evaluate_device(
+        dev, fid, jnp.asarray(wo, jnp.float32), jnp.asarray(wi, jnp.float32)))
+    for r in range(n):
+        mu_i = -wi[r, 2]
+        mu_o = wo[r, 2]
+        ax, ay = -wi[r, 0], -wi[r, 1]
+        bx, by = wo[r, 0], wo[r, 1]
+        den = np.sqrt(max((ax * ax + ay * ay) * (bx * bx + by * by), 1e-20))
+        cp = np.clip((ax * bx + ay * by) / den, -1, 1)
+        want = fblib.evaluate(t, mu_i, mu_o, cp)
+        assert np.allclose(got[r], want, rtol=2e-3, atol=2e-4), \
+            (r, got[r], want)
+
+
+def test_densify_truncation_keeps_energy_order():
+    """m_cap truncation drops only azimuthal orders >= cap; order-0 stays
+    exact."""
+    t = _glossy_test_table(m=6)
+    dev = fblib.densify([t], m_cap=2)
+    assert dev.a.shape[3] == 2
+    # a0 of pair (8,8) matches the host pool exactly
+    off = int(t.a_offset[8, 8])
+    assert np.isclose(float(dev.a[0, 8, 8, 0, 0]), t.a[off])
+
+
+def test_fourier_render_matches_matte():
+    """End-to-end: a Lambertian fourier table renders like the same-albedo
+    matte (exact in-graph table evaluation through the wavefront)."""
+    import tempfile as tf
+
+    from pbrt_v3_iile_tpu.integrators import render as renderlib
+
+    t = fblib.make_lambertian_table(albedo=0.5, n_mu=24)
+    f = tf.NamedTemporaryFile(suffix=".bsdf", delete=False)
+    f.close()
+    fblib.write_bsdf(f.name, t)
+
+    def scene_text(mat):
+        return f"""
+    LookAt 0 1.5 -3  0 0 0  0 1 0
+    Camera "perspective" "float fov" [50]
+    Film "image" "integer xresolution" [32] "integer yresolution" [32]
+    Integrator "path" "integer maxdepth" [2]
+    WorldBegin
+    LightSource "point" "rgb I" [10 10 10] "point from" [0 3 -1]
+    {mat}
+    Shape "trianglemesh" "integer indices" [0 1 2 0 2 3]
+      "point P" [-2 0 -2  2 0 -2  2 0 2  -2 0 2]
+    WorldEnd
+    """
+
+    sd_f = apilib.load_scene_string(
+        scene_text(f'Material "fourier" "string bsdffile" "{f.name}"'))
+    sd_m = apilib.load_scene_string(
+        scene_text('Material "matte" "rgb Kd" [0.5 0.5 0.5]'))
+    img_f, _ = renderlib.render(sd_f, spp=8, seed=3)
+    img_m, _ = renderlib.render(sd_m, spp=8, seed=3)
+    img_f, img_m = np.asarray(img_f), np.asarray(img_m)
+    assert np.isfinite(img_f).all()
+    assert abs(img_f.mean() - img_m.mean()) < 0.03 * max(img_m.mean(), 1e-6)
     os.unlink(f.name)
