@@ -71,7 +71,13 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if args.cpu:
+        # env var alone is not enough: the container's sitecustomize may
+        # have pre-registered a TPU PJRT plugin and overridden
+        # JAX_PLATFORMS, so pin the platform through jax.config too
+        # (same pattern as tests/conftest.py)
         os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from ..scene import api as apilib
     from ..integrators import render as renderlib

@@ -405,7 +405,8 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
         cone_r = vm.length(it.p - scene.tex_cone_o[None, :]) * scene.tex_theta
         tex_w = jnp.where(is_tri_w, cone_r * dens_w, 0.0)
         params = bsdflib.gather_params(scene, jnp.maximum(it.mat, 0),
-                                       uv=it.uv, p=it.p, tex_width=tex_w)
+                                       uv=it.uv, p=it.p, tex_width=tex_w,
+                                       face=it.face)
         black = bsdflib.is_black(params)
         if cfg.volumetric:
             # null-material medium boundary: pass through, switch medium

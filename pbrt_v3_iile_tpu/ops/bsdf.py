@@ -63,12 +63,13 @@ def roughness_to_alpha(rough):
 
 
 def gather_params(scene, mat_id, uv=None, p=None,
-                  tex_width=None) -> BsdfParams:
+                  tex_width=None, face=None) -> BsdfParams:
     """Material SoA gather + texture evaluation at the hit
     (ref: Material::ComputeScatteringFunctions evaluating Texture::Evaluate,
     src/materials/matte.cpp:46 etc.).  uv (N,2) / p (N,3) enable textured
     slots; without them constants are used.  tex_width: optional (N,)
-    UV-space ray-cone footprint for mip selection (scene/textures.py)."""
+    UV-space ray-cone footprint for mip selection (scene/textures.py).
+    face: optional (N,) i32 ptex face index (Interaction.face)."""
     from ..scene import textures as texlib
 
     g = lambda a: jnp.take(a, mat_id, axis=0)
@@ -87,18 +88,18 @@ def gather_params(scene, mat_id, uv=None, p=None,
         ro_t = g(scene.mat_rough_tex)
         tw = tex_width
         kd = jnp.where((kd_t >= 0)[..., None],
-                       texlib.eval_texture(scene.textures, kd_t, uv, p, tw),
+                       texlib.eval_texture(scene.textures, kd_t, uv, p, tw, face),
                        kd)
         ks = jnp.where((ks_t >= 0)[..., None],
-                       texlib.eval_texture(scene.textures, ks_t, uv, p, tw),
+                       texlib.eval_texture(scene.textures, ks_t, uv, p, tw, face),
                        ks)
         sigma = jnp.where(
             sg_t >= 0,
-            texlib.eval_texture(scene.textures, sg_t, uv, p, tw)[..., 0],
+            texlib.eval_texture(scene.textures, sg_t, uv, p, tw, face)[..., 0],
             sigma)
         rough = jnp.where(
             ro_t >= 0,
-            texlib.eval_texture(scene.textures, ro_t, uv, p, tw)[..., 0],
+            texlib.eval_texture(scene.textures, ro_t, uv, p, tw, face)[..., 0],
             rough)
     remap = g(scene.mat_remap) > 0.5
     kind = g(scene.mat_kind)

@@ -273,6 +273,8 @@ class Interaction(NamedTuple):
     mat: jnp.ndarray      # (N,) i32
     light: jnp.ndarray    # (N,) i32 area light id or -1
     valid: jnp.ndarray    # (N,) bool
+    face: jnp.ndarray = None  # (N,) i32 ptex face index (ref:
+                              # SurfaceInteraction::faceIndex)
 
 
 def make_interaction(scene, o, d, hit: Hit, time=None) -> Interaction:
@@ -333,4 +335,8 @@ def make_interaction(scene, o, d, hit: Hit, time=None) -> Interaction:
         mat=jnp.where(is_sph, mat_s, mat_t),
         light=jnp.where(is_sph, light_s, light_t),
         valid=hit.valid,
+        face=jnp.where(
+            is_sph, 0,
+            jnp.take(scene.tri_face,
+                     jnp.clip(tri_id, 0, scene.tri_face.shape[0] - 1))),
     )

@@ -236,7 +236,8 @@ class SceneDesc:
         self.has_motion = False    # any animated shape (object motion blur)
 
     def add_triangles(self, p, n, uv, mat_id, light_id=-1,
-                      med_in=-1, med_out=-1, p_end=None, n_end=None):
+                      med_in=-1, med_out=-1, p_end=None, n_end=None,
+                      face=None):
         cnt = p.shape[0]
         if cnt == 0:
             return self.n_triangles
@@ -248,6 +249,10 @@ class SceneDesc:
                 p=p.astype(np.float32),
                 n=None if n is None else n.astype(np.float32),
                 uv=None if uv is None else uv.astype(np.float32),
+                # ptex face index (ref: triangle.cpp:682 faceIndices ->
+                # SurfaceInteraction::faceIndex); default: ordinal in mesh
+                face=(np.arange(cnt, dtype=np.int32) if face is None
+                      else np.asarray(face, np.int32)),
                 mat=np.full(cnt, mat_id, dtype=np.int32),
                 light=np.full(cnt, light_id, dtype=np.int32),
                 med_in=np.full(cnt, med_in, dtype=np.int32),
@@ -847,9 +852,12 @@ class Api:
                                               self.base_dir)
             if tri_e is not None:
                 p_end, n_end, _ = tri_e
+        face = ps.find_ints("faceIndices")
+        if face is not None and face.shape[0] != p.shape[0]:
+            face = None  # mismatched count: ignore (triangle.cpp:683)
         start = sd.add_triangles(p, n, uv, gs.material_index, light_id,
                                  med_in=gs.medium_in, med_out=gs.medium_out,
-                                 p_end=p_end, n_end=n_end)
+                                 p_end=p_end, n_end=n_end, face=face)
         if light_id >= 0:
             sd.lights[light_id].tri_start = start
             sd.lights[light_id].tri_count = p.shape[0]

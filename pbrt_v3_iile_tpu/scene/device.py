@@ -160,6 +160,9 @@ class DeviceScene(NamedTuple):
     # (ops/fourierbsdf.FourierDev); None when the scene has none ---
     mat_fourier_id: jnp.ndarray = jnp.full(1, -1, jnp.int32)  # (M,)
     fourier: object = None
+    # --- ptex face index per triangle (ref: triangle.cpp faceIndices →
+    # SurfaceInteraction::faceIndex; consumed by scene/textures.py) ---
+    tri_face: jnp.ndarray = jnp.zeros(1, jnp.int32)  # (T,) or (1,)
 
 
 def _pad(a, n, fill=0.0):
@@ -182,6 +185,9 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
              for b in sd.tri_blocks], axis=0)
         mat = np.concatenate([b["mat"] for b in sd.tri_blocks])
         lig = np.concatenate([b["light"] for b in sd.tri_blocks])
+        face = np.concatenate(
+            [b.get("face", np.arange(b["p"].shape[0], dtype=np.int32))
+             for b in sd.tri_blocks])
         m_in = np.concatenate([b.get("med_in", np.full(b["p"].shape[0], -1,
                                                        np.int32))
                                for b in sd.tri_blocks])
@@ -201,6 +207,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         uv = np.zeros((1, 3, 2), np.float32)
         mat = np.zeros(1, np.int32)
         lig = np.full(1, -1, np.int32)
+        face = np.zeros(1, np.int32)
         m_in = np.full(1, -1, np.int32)
         m_out = np.full(1, -1, np.int32)
         p_end = p
@@ -218,6 +225,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     order = flat.prim_order
     p, ns, uv, mat, lig = p[order], ns[order], uv[order], mat[order], lig[order]
     m_in, m_out = m_in[order], m_out[order]
+    face = face[order]
     p_end, ns_end = p_end[order], ns_end[order]
 
     def _geo_normal(pp):
@@ -656,6 +664,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         mat_vrough=f32(vro), mat_eta=f32(eta), mat_metal_eta=f32(meta),
         mat_metal_k=f32(mk_k), mat_sigma=f32(sigma), mat_remap=f32(remap),
         mat_aux=f32(mat_aux),
+        tri_face=i32(face),
         mat_fourier_id=i32(fr_id),
         fourier=(fourierlib.densify(fourier_tables)
                  if fourier_tables else None),

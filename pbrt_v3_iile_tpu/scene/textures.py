@@ -36,6 +36,7 @@ TEX_WRINKLED = 8
 TEX_MARBLE = 9
 TEX_WINDY = 10
 TEX_BILERP = 11
+TEX_PTEX = 12
 
 ATLAS_RES = 256
 N_MIPS = 6  # pyramid depth: 256 -> 8 (coarser levels clamp here)
@@ -45,6 +46,7 @@ KIND_IDS = {
     "checkerboard": TEX_CHECKER, "uv": TEX_UV, "imagemap": TEX_IMAGE,
     "dots": TEX_DOTS, "fbm": TEX_FBM, "wrinkled": TEX_WRINKLED,
     "marble": TEX_MARBLE, "windy": TEX_WINDY, "bilerp": TEX_BILERP,
+    "ptex": TEX_PTEX,
 }
 
 
@@ -60,6 +62,12 @@ class TextureTable(NamedTuple):
     octaves: jnp.ndarray   # (X,) noise octaves
     omega: jnp.ndarray     # (X,) noise roughness
     atlas: jnp.ndarray     # (I*N_MIPS, ATLAS_RES, ATLAS_RES, 3) img-major
+    # --- ptex per-face textures (scene/ptex.py; ref: textures/ptex.h) ---
+    ptex_base: jnp.ndarray = jnp.full(1, -1, jnp.int32)  # (X,) face base or -1
+    ptex_off: jnp.ndarray = jnp.zeros(1, jnp.int32)    # (F,) texel offset/face
+    ptex_resu: jnp.ndarray = jnp.ones(1, jnp.int32)    # (F,)
+    ptex_resv: jnp.ndarray = jnp.ones(1, jnp.int32)    # (F,)
+    ptex_texels: jnp.ndarray = jnp.zeros((1, 3), jnp.float32)  # (P,3) flat
 
 
 def empty_table() -> TextureTable:
@@ -148,6 +156,7 @@ def build_table(named_textures: dict) -> tuple[TextureTable, dict]:
     octv = np.full(X, 8.0, np.float32)
     omga = np.full(X, 0.5, np.float32)
     atlas_imgs = []
+    ptex_files, ptex_tex_slot = [], []
 
     for i, n in enumerate(names):
         rec = named_textures[n]
@@ -199,6 +208,24 @@ def build_table(named_textures: dict) -> tuple[TextureTable, dict]:
                       file=sys.stderr)
                 kind[i] = TEX_CONST
                 v1[i] = [0.5, 0.5, 0.5]
+        elif rec.kind == "ptex":
+            # per-face texture (ref: textures/ptex.cpp) — scene/ptex.py
+            fn = ps.find_one_string("filename", "")
+            gamma = ps.find_one_float("gamma", 2.2)
+            try:
+                from . import ptex as ptexlib
+                pf = ptexlib.read_ptx(fn)
+                if gamma != 1.0:
+                    pf.faces = [np.power(np.maximum(f_, 0.0), gamma)
+                                for f_ in pf.faces]
+                ptex_files.append(pf)
+                ptex_tex_slot.append(i)
+            except Exception as e:  # missing/bad file -> gray fallback
+                import sys
+                print(f"warning: ptex {fn}: {e}; using 0.5 constant",
+                      file=sys.stderr)
+                kind[i] = TEX_CONST
+                v1[i] = [0.5, 0.5, 0.5]
         elif rec.kind in ("fbm", "wrinkled", "windy", "marble"):
             v1[i] = [1.0, 1.0, 1.0]
             if rec.kind == "marble":
@@ -210,10 +237,39 @@ def build_table(named_textures: dict) -> tuple[TextureTable, dict]:
              else np.zeros((N_MIPS, ATLAS_RES, ATLAS_RES, 3), np.float32))
     f32 = lambda a: jnp.asarray(a, jnp.float32)
     i32 = lambda a: jnp.asarray(a, jnp.int32)
+    ptex_base = np.full(X, -1, np.int32)
+    if X == 1:
+        # pad with one dummy row: the "has real textures" static gate in
+        # ops/bsdf.gather_params is kind.shape[0] > 1, and empty_table()
+        # (no textures at all) already occupies shape (1,)
+        kind = np.append(kind, TEX_CONST).astype(np.int32)
+        v1 = np.concatenate([v1, np.zeros((1, 3), np.float32)])
+        v2 = np.concatenate([v2, np.zeros((1, 3), np.float32)])
+        c1 = np.append(c1, -1).astype(np.int32)
+        c2 = np.append(c2, -1).astype(np.int32)
+        us = np.append(us, 1.0).astype(np.float32)
+        vs = np.append(vs, 1.0).astype(np.float32)
+        imgid = np.append(imgid, -1).astype(np.int32)
+        octv = np.append(octv, 8.0).astype(np.float32)
+        omga = np.append(omga, 0.5).astype(np.float32)
+        ptex_base = np.append(ptex_base, -1).astype(np.int32)
+    if ptex_files:
+        from . import ptex as ptexlib
+        bases, (p_off, p_ru, p_rv, p_tex) = ptexlib.build_face_tables(
+            ptex_files)
+        for slot, b in zip(ptex_tex_slot, bases):
+            ptex_base[slot] = b
+    else:
+        p_off = np.zeros(1, np.int32)
+        p_ru = np.ones(1, np.int32)
+        p_rv = np.ones(1, np.int32)
+        p_tex = np.zeros((1, 3), np.float32)
     return TextureTable(
         kind=i32(kind), v1=f32(v1), v2=f32(v2), child1=i32(c1), child2=i32(c2),
         uscale=f32(us), vscale=f32(vs), img=i32(imgid), octaves=f32(octv),
         omega=f32(omga), atlas=f32(atlas),
+        ptex_base=i32(ptex_base), ptex_off=i32(p_off),
+        ptex_resu=i32(p_ru), ptex_resv=i32(p_rv), ptex_texels=f32(p_tex),
     ), name_to_id
 
 
@@ -411,12 +467,42 @@ def _eval_leaf(tt: TextureTable, tid, uv, p, width=None):
     return out
 
 
-def eval_texture(tt: TextureTable, tid, uv, p, width=None):
+def _eval_ptex(tt: TextureTable, tid_c, uv, face):
+    """Per-face bilinear lookup from the flat ptex pool (ref:
+    textures/ptex.cpp Ptex eval via faceIndex; edge-clamped within the
+    face — cross-face filtering not applied)."""
+    F = tt.ptex_off.shape[0]
+    base = jnp.take(tt.ptex_base, tid_c)
+    fidx = jnp.clip(base + face, 0, F - 1)
+    off = jnp.take(tt.ptex_off, fidx)
+    ru = jnp.take(tt.ptex_resu, fidx)
+    rv = jnp.take(tt.ptex_resv, fidx)
+    fu = jnp.clip(uv[..., 0], 0.0, 1.0) * ru.astype(jnp.float32) - 0.5
+    fv = jnp.clip(uv[..., 1], 0.0, 1.0) * rv.astype(jnp.float32) - 0.5
+    x0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, ru - 1)
+    y0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, rv - 1)
+    x1 = jnp.minimum(x0 + 1, ru - 1)
+    y1 = jnp.minimum(y0 + 1, rv - 1)
+    ax = jnp.clip(fu - x0, 0.0, 1.0)[..., None]
+    ay = jnp.clip(fv - y0, 0.0, 1.0)[..., None]
+    P = tt.ptex_texels.shape[0]
+    tex = lambda x, y: jnp.take(tt.ptex_texels,
+                                jnp.clip(off + y * ru + x, 0, P - 1), axis=0)
+    return ((1 - ay) * ((1 - ax) * tex(x0, y0) + ax * tex(x1, y0))
+            + ay * ((1 - ax) * tex(x0, y1) + ax * tex(x1, y1)))
+
+
+def eval_texture(tt: TextureTable, tid, uv, p, width=None, face=None):
     """Evaluate texture ids (N,) at uv (N,2), world p (N,3) -> (N,3).
     Nested scale/mix/checkerboard children resolved one level deep.
-    width: optional (N,) UV-space ray-cone footprint (mip selection)."""
+    width: optional (N,) UV-space ray-cone footprint (mip selection).
+    face: optional (N,) i32 ptex face index (Interaction.face)."""
     tid_c = jnp.maximum(tid, 0)
     base = _eval_leaf(tt, tid_c, uv, p, width)
+    # ptex: statically gated on the pool being non-trivial
+    if face is not None and tt.ptex_texels.shape[0] > 1:
+        base = jnp.where((jnp.take(tt.kind, tid_c) == TEX_PTEX)[..., None],
+                         _eval_ptex(tt, tid_c, uv, face), base)
     c1 = jnp.take(tt.child1, tid_c)
     c2 = jnp.take(tt.child2, tid_c)
     has_child = (c1 >= 0) | (c2 >= 0)

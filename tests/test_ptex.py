@@ -1,0 +1,122 @@
+"""Ptex per-face texture tests (ref: src/textures/ptex.{h,cpp}; the
+reference wraps the external Ptex lib — here scene/ptex.py implements
+the container + a flat per-face device pool)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from pbrt_v3_iile_tpu.scene import ptex as ptexlib
+
+
+def test_ptx_round_trip(tmp_path):
+    p = str(tmp_path / "t.ptx")
+    pf = ptexlib.make_test_ptx(p, n_faces=5, res_log2=3)
+    back = ptexlib.read_ptx(p)
+    assert back.meshtype == pf.meshtype
+    assert back.nchannels == 3
+    assert len(back.faces) == 5
+    for a, b in zip(pf.faces, back.faces):
+        assert a.shape == b.shape
+        assert np.allclose(a, b, atol=1e-6)
+    assert np.array_equal(back.res, pf.res)
+    assert np.array_equal(back.adjfaces, pf.adjfaces)
+
+
+def test_ptx_round_trip_uint8(tmp_path):
+    p = str(tmp_path / "t8.ptx")
+    pf = ptexlib.PtexFile()
+    pf.res = np.full((2, 2), 2, np.int32)
+    pf.adjfaces = np.full((2, 4), -1, np.int32)
+    pf.adjedges = np.zeros(2, np.uint32)
+    pf.const = np.zeros((2, 3), np.float32)
+    pf.faces = [np.full((4, 4, 3), 0.5, np.float32),
+                np.full((4, 4, 3), 0.25, np.float32)]
+    ptexlib.write_ptx(p, pf, datatype=0)
+    back = ptexlib.read_ptx(p)
+    assert np.allclose(back.faces[0], 0.5, atol=1 / 255.0)
+    assert np.allclose(back.faces[1], 0.25, atol=1 / 255.0)
+
+
+def test_ptx_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.ptx"
+    p.write_bytes(b"not a ptex file at all........")
+    try:
+        ptexlib.read_ptx(str(p))
+        assert False, "should have raised"
+    except ValueError:
+        pass
+
+
+def test_face_tables_and_eval(tmp_path):
+    """Flat pool build + device bilinear lookup selects the right face."""
+    from pbrt_v3_iile_tpu.scene import textures as texlib
+
+    pf = ptexlib.PtexFile()
+    nf = 3
+    pf.res = np.full((nf, 2), 1, np.int32)
+    pf.adjfaces = np.full((nf, 4), -1, np.int32)
+    pf.adjedges = np.zeros(nf, np.uint32)
+    pf.const = np.zeros((nf, 3), np.float32)
+    colors = [(1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0)]
+    pf.faces = [np.full((2, 2, 3), c, np.float32) for c in colors]
+    bases, (off, ru, rv, pool) = ptexlib.build_face_tables([pf])
+    assert bases == [0]
+    assert pool.shape == (nf * 4, 3)
+
+    tt = texlib.empty_table()._replace(
+        kind=jnp.asarray([texlib.TEX_PTEX], jnp.int32),
+        ptex_base=jnp.asarray([0], jnp.int32),
+        ptex_off=jnp.asarray(off), ptex_resu=jnp.asarray(ru),
+        ptex_resv=jnp.asarray(rv), ptex_texels=jnp.asarray(pool))
+    uv = jnp.full((3, 2), 0.5, jnp.float32)
+    p = jnp.zeros((3, 3), jnp.float32)
+    face = jnp.arange(3, dtype=jnp.int32)
+    tid = jnp.zeros(3, jnp.int32)
+    out = np.asarray(texlib.eval_texture(tt, tid, uv, p, face=face))
+    assert np.allclose(out, colors, atol=1e-6), out
+
+
+def test_ptex_render_end_to_end(tmp_path):
+    """Scene with a 2-quad mesh + faceIndices and a 2-face ptex: each
+    half of the floor picks its own face color through the wavefront."""
+    from pbrt_v3_iile_tpu.scene import api as apilib
+    from pbrt_v3_iile_tpu.integrators import render as renderlib
+
+    ptx = str(tmp_path / "faces.ptx")
+    pf = ptexlib.PtexFile()
+    pf.res = np.full((2, 2), 2, np.int32)
+    pf.adjfaces = np.full((2, 4), -1, np.int32)
+    pf.adjedges = np.zeros(2, np.uint32)
+    pf.const = np.zeros((2, 3), np.float32)
+    pf.faces = [np.full((4, 4, 3), (0.9, 0.05, 0.05), np.float32),
+                np.full((4, 4, 3), (0.05, 0.05, 0.9), np.float32)]
+    ptexlib.write_ptx(ptx, pf)
+
+    scene = tmp_path / "s.pbrt"
+    scene.write_text(f"""
+LookAt 0 3 0  0 0 0  0 0 1
+Camera "perspective" "float fov" [60]
+Film "image" "integer xresolution" [32] "integer yresolution" [32]
+Integrator "path" "integer maxdepth" [2]
+WorldBegin
+LightSource "distant" "rgb L" [3 3 3] "point from" [0 5 0] "point to" [0 0 0]
+Texture "faces" "color" "ptex" "string filename" "{ptx}" "float gamma" [1]
+Material "matte" "texture Kd" "faces"
+Shape "trianglemesh"
+  "integer indices" [0 1 2 0 2 3  4 5 6 4 6 7]
+  "integer faceIndices" [0 0 1 1]
+  "point P" [-2 0 -2  0 0 -2  0 0 2  -2 0 2
+             0 0 -2  2 0 -2  2 0 2  0 0 2]
+WorldEnd
+""")
+    sd = apilib.load_scene(str(scene))
+    img, _ = renderlib.render(sd, spp=4, seed=1)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    h, w = img.shape[:2]
+    left = img[:, : w // 3]     # x < 0 half: face 0 (red)
+    right = img[:, -w // 3:]    # x > 0 half: face 1 (blue)
+    assert left[..., 0].mean() > 3.0 * left[..., 2].mean()
+    assert right[..., 2].mean() > 3.0 * right[..., 0].mean()
