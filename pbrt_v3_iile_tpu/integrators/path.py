@@ -64,6 +64,13 @@ class PathConfig(NamedTuple):
                                       # lights from the per-voxel table
                                       # (ref: lightdistrib.h:100); MIS
                                       # select-pdfs become position-aware
+    has_subsurface: bool = False      # exact spatial BSSRDF: Fresnel
+                                      # entry + probe-ray exit sampling of
+                                      # a Burley diffusion profile (ref:
+                                      # core/bssrdf.cpp SeparableBSSRDF,
+                                      # path.cpp subsurface block); off ->
+                                      # materials degrade to the dipole-Rd
+                                      # uber approximation
     accel: str = "bvh"                # aggregate: "bvh" | "kdtree"
                                       # (ref: api.cpp MakeAccelerator)
 
@@ -426,6 +433,17 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
             alive = alive & (~black)
             passthrough = jnp.zeros(N, bool)
 
+        # exact-BSSRDF rays take their own continuation (below); they are
+        # excluded from surface NEE at the entry vertex — the reference's
+        # entry BSDF is a pure Fresnel interface (no non-specular lobes)
+        if cfg.has_subsurface:
+            from ..scene.api import MAT_SUBSURFACE
+            sss = found & alive & (params.kind == MAT_SUBSURFACE)
+            beta_pre_sss = beta
+        else:
+            sss = jnp.zeros(N, bool)
+        not_sss = ~sss
+
         if cfg.volumetric:
             medc = jnp.clip(med, 0, scene.med_g.shape[0] - 1)
             g_hg = jnp.take(scene.med_g, medc)
@@ -519,8 +537,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
             for li in range(n_light_slots):
                 lid = jnp.full(N, li, jnp.int32)
                 live_light = li < scene.n_lights
-                c_nee, n_sh = nee_once(lid, jnp.ones(N), u_all[:, li],
-                                       jnp.broadcast_to(live_light, (N,)))
+                c_nee, n_sh = nee_once(
+                    lid, jnp.ones(N), u_all[:, li],
+                    jnp.broadcast_to(live_light, (N,)) & not_sss)
                 L = L + c_nee
                 ray_count = ray_count + n_sh
         elif cfg.nee:
@@ -536,8 +555,7 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
             else:
                 light_id, sel_pdf = lightlib.choose_light(scene, u_sel)
             with jax.named_scope("nee"):
-                c_nee, n_sh = nee_once(light_id, sel_pdf, u_l,
-                                       jnp.ones(N, bool))
+                c_nee, n_sh = nee_once(light_id, sel_pdf, u_l, not_sss)
             L = L + c_nee
             ray_count = ray_count + n_sh
 
@@ -596,6 +614,183 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
         if cfg.volumetric:
             o = jnp.where(scatter[:, None], p_med, o)
         d = wi_w
+
+        # ---------- exact BSSRDF continuation (spatial subsurface) ------
+        # (ref: core/bssrdf.cpp SeparableBSSRDF::Sample_Sp/Pdf_Sp +
+        # path.cpp subsurface block).  Burley normalized-diffusion radial
+        # profile stands in for the reference's tabulated beam diffusion
+        # (Christensen & Burley 2015): per-channel Sr integrates to the
+        # albedo A and the 2-exponential mixture importance-samples it
+        # exactly.  Entry: Fresnel choice (reflect vs enter).  Exit point:
+        # probe ray along a MIS-selected local axis, closest same-material
+        # hit (probe chain length 1).  Exit lobe: cosine x (1-Fr)/c
+        # (SeparableBSSRDFAdapter semantics; entry/exit eta^2 radiance
+        # scalings cancel and are omitted).
+        if cfg.has_subsurface:
+            with jax.named_scope("bssrdf"):
+                fr_o = bsdflib.fr_dielectric(
+                    wo_l[..., 2], jnp.ones_like(params.eta), params.eta)
+                go_reflect = u_lobe < fr_o
+                # specular entry reflection: f*cos/pdf = kr (Fresnel
+                # cancels against its selection probability)
+                wi_refl_l = jnp.stack([-wo_l[..., 0], -wo_l[..., 1],
+                                       wo_l[..., 2]], axis=-1)
+                d_refl = vm.to_world(wi_refl_l, t_f, b_f, ns)
+
+                u4 = draw(smplr.DIM_SSS_PROBE, (N, 4))
+                u_ax, u_ch, u_r, u_phi = (u4[:, 0], u4[:, 1], u4[:, 2],
+                                          u4[:, 3])
+                d_all = jnp.maximum(
+                    jnp.take(scene.mat_sss_d, jnp.maximum(it.mat, 0),
+                             axis=0), 1e-6)                       # (N,3)
+                A_prof = params.kd                                # (N,3)
+                ch = jnp.clip((u_ch * 3.0).astype(jnp.int32), 0, 2)
+                d_ch = jnp.take_along_axis(d_all, ch[:, None],
+                                           axis=1)[:, 0]
+                # 2-exponential mixture radius sampling (perfect IS of Sr)
+                mix = u_r < 0.25
+                u1 = jnp.clip(jnp.where(mix, u_r / 0.25,
+                                        (u_r - 0.25) / 0.75), 0.0,
+                              1.0 - 1e-7)
+                r_s = jnp.where(mix, -d_ch * jnp.log1p(-u1),
+                                -3.0 * d_ch * jnp.log1p(-u1))
+                X999 = 19.87   # cdf^-1(0.999) of the mixture, in r/d
+                r_max = d_ch * X999
+                r_ok = r_s < r_max
+                half_l = jnp.sqrt(jnp.maximum(
+                    r_max * r_max - r_s * r_s, 0.0))
+                phi = 2.0 * jnp.pi * u_phi
+                # probe axis: ns with prob .5, tangents .25 each
+                # (ref: bssrdf.cpp Sample_Sp axis selection)
+                a_ns = u_ax < 0.5
+                a_t = (u_ax >= 0.5) & (u_ax < 0.75)
+                pick = lambda v_ns, v_t, v_b: jnp.where(
+                    a_ns[:, None], v_ns, jnp.where(a_t[:, None], v_t, v_b))
+                vx = pick(t_f, b_f, ns)
+                vy = pick(b_f, ns, t_f)
+                vz = pick(ns, t_f, b_f)
+                base = (it.p + r_s[:, None]
+                        * (jnp.cos(phi)[:, None] * vx
+                           + jnp.sin(phi)[:, None] * vy)
+                        + half_l[:, None] * vz)
+                p_dir = -vz
+                do_probe = sss & (~go_reflect) & r_ok
+                probe_tmax = jnp.where(do_probe, 2.0 * half_l, -1.0)
+                with jax.named_scope("bssrdf_probe"):
+                    ph = isect.intersect(scene, base, p_dir, probe_tmax,
+                                         use_pallas=cfg.use_pallas,
+                                         accel=cfg.accel, time=time)
+                pit = isect.make_interaction(scene, base, p_dir, ph,
+                                             time=time)
+                ray_count = ray_count + jnp.sum(do_probe)
+                same = ph.valid & (pit.mat == it.mat)
+                diffv = pit.p - it.p
+                r_act = vm.length(diffv)
+                dL = jnp.stack([vm.dot(diffv, t_f), vm.dot(diffv, b_f),
+                                vm.dot(diffv, ns)], axis=-1)
+                nL = jnp.stack([vm.dot(pit.ns, t_f), vm.dot(pit.ns, b_f),
+                                vm.dot(pit.ns, ns)], axis=-1)
+                # projected radii per probe axis (bssrdf.cpp Pdf_Sp)
+                rp_t = jnp.sqrt(dL[:, 1] ** 2 + dL[:, 2] ** 2)
+                rp_b = jnp.sqrt(dL[:, 2] ** 2 + dL[:, 0] ** 2)
+                rp_n = jnp.sqrt(dL[:, 0] ** 2 + dL[:, 1] ** 2)
+
+                def p_area(rr, dd):
+                    # area pdf of the mixture radius sampler, per channel
+                    rr_ = jnp.maximum(rr, 1e-6)[:, None]
+                    pr = 0.25 * (jnp.exp(-rr_ / dd)
+                                 + jnp.exp(-rr_ / (3.0 * dd))) / dd
+                    return pr / (2.0 * jnp.pi * rr_)
+
+                pdf_sp = (
+                    0.25 * jnp.abs(nL[:, 0]) * p_area(rp_t, d_all).mean(-1)
+                    + 0.25 * jnp.abs(nL[:, 1]) * p_area(rp_b, d_all).mean(-1)
+                    + 0.5 * jnp.abs(nL[:, 2]) * p_area(rp_n, d_all).mean(-1))
+                ra = jnp.maximum(r_act, 1e-6)[:, None]
+                sp = A_prof * (jnp.exp(-ra / d_all)
+                               + jnp.exp(-ra / (3.0 * d_all))) / (
+                    8.0 * jnp.pi * d_all * ra)
+                w_sp = sp / jnp.maximum(pdf_sp, 1e-12)[:, None]
+
+                # exit lobe: cosine x (1-Fr)/c (bssrdf.h
+                # SeparableBSSRDF::Sw, c = 1 - 2*FresnelMoment1(1/eta))
+                u_e = draw(smplr.DIM_SSS_EXIT, (N, 2))
+                wi_e_l = smp.cosine_sample_hemisphere(u_e)
+                # two-sided orientation: the reference assumes meshes with
+                # outward normals (pi.shading.n used as-is); here, if the
+                # entry normal faced away from the viewer, the mesh is
+                # wound inward — flip the exit normal consistently
+                flip = jnp.where(vm.dot(it.ng, it.wo) < 0.0, -1.0, 1.0)
+                nf_exit = pit.ns * flip[:, None]
+                t_e, b_e = vm.coordinate_system(nf_exit)
+                wi_e_w = vm.to_world(wi_e_l, t_e, b_e, nf_exit)
+                cos_e = jnp.maximum(wi_e_l[..., 2], 0.0)
+                fr_i = bsdflib.fr_dielectric(
+                    cos_e, jnp.ones_like(params.eta), params.eta)
+                c_norm = jnp.maximum(
+                    1.0 - 2.0 * bsdflib.fresnel_moment1(
+                        1.0 / jnp.maximum(params.eta, 1e-6)), 1e-4)
+                beta_enter = beta_pre_sss * w_sp * (
+                    (1.0 - fr_i) / c_norm)[:, None]
+                beta_refl = beta_pre_sss * params.kr
+
+                enter_ok = do_probe & same & (pdf_sp > 0.0) & \
+                    jnp.isfinite(vm.luminance(beta_enter)) & (cos_e > 0.0)
+
+                # NEE at the exit vertex (ref: path.cpp subsurface block:
+                # L += beta * UniformSampleOneLight(pi)); the exit lobe is
+                # f = (1-Fr)/(c*pi), pdf = cos/pi, MIS power heuristic
+                # against the cosine continuation for area lights
+                u_sel_x = draw(smplr.DIM_SSS_NEE, (N, 4))
+                if cfg.spatial_lights:
+                    lid_x, selp_x = lightlib.choose_light_spatial(
+                        scene, u_sel_x[:, 0], pit.p)
+                else:
+                    lid_x, selp_x = lightlib.choose_light(
+                        scene, u_sel_x[:, 0])
+                lsx = lightlib.sample_li(scene, lid_x, pit.p,
+                                         u_sel_x[:, 1:4])
+                cos_lx = jnp.maximum(vm.dot(lsx.wi, nf_exit), 0.0)
+                fr_lx = bsdflib.fr_dielectric(
+                    cos_lx, jnp.ones_like(params.eta), params.eta)
+                f_sw_x = (1.0 - fr_lx) / (c_norm * jnp.pi)
+                can_x = enter_ok & (lsx.pdf > 0.0) & (cos_lx > 0.0) & \
+                    (vm.luminance(lsx.li) > 0.0) & (scene.n_lights > 0)
+                o_shx = vm.offset_ray_origin(pit.p, nf_exit, lsx.wi)
+                shx_tmax = jnp.where(can_x, lsx.dist * 0.999, -1.0)
+                with jax.named_scope("bssrdf_shadow"):
+                    occ_x = isect.occluded(scene, o_shx, lsx.wi, shx_tmax,
+                                           use_pallas=cfg.use_pallas,
+                                           accel=cfg.accel, time=time)
+                ray_count = ray_count + jnp.sum(can_x)
+                w_mis_x = jnp.where(
+                    lsx.is_delta, 1.0,
+                    smp.power_heuristic(1.0, lsx.pdf * selp_x,
+                                        1.0, cos_lx / jnp.pi))
+                contrib_x = (beta_pre_sss * w_sp
+                             * (f_sw_x * cos_lx * w_mis_x / jnp.maximum(
+                                 lsx.pdf * selp_x, 1e-12))[:, None]
+                             * lsx.li)
+                L = L + jnp.where((can_x & ~occ_x & ~go_reflect & sss)
+                                  [:, None], contrib_x, 0.0)
+                sss_ok = jnp.where(go_reflect,
+                                   vm.luminance(beta_refl) > 0.0, enter_ok)
+                sss_beta = jnp.where(go_reflect[:, None], beta_refl,
+                                     beta_enter)
+                sss_o = jnp.where(
+                    go_reflect[:, None],
+                    vm.offset_ray_origin(it.p, ng_f, d_refl),
+                    vm.offset_ray_origin(pit.p, nf_exit, wi_e_w))
+                sss_dir = jnp.where(go_reflect[:, None], d_refl, wi_e_w)
+
+                beta = jnp.where(sss[:, None], sss_beta, beta)
+                o = jnp.where(sss[:, None], sss_o, o)
+                d = jnp.where(sss[:, None], sss_dir, d)
+                alive = jnp.where(sss, sss_ok, alive)
+                spec = jnp.where(sss, go_reflect, spec)
+                prev_pdf = jnp.where(
+                    sss, jnp.where(go_reflect, 1.0,
+                                   cos_e / jnp.pi), prev_pdf)
 
         # ---------- russian roulette (path.cpp:185-192) ----------
         rr_beta_max = sg(vm.max_component(beta * eta_scale[:, None]))

@@ -30,6 +30,7 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
         use_pallas = jax.default_backend() not in ("cpu",)
     kind = sd.integrator.kind
     has_hair = any(m.kind == apilib.MAT_HAIR for m in sd.materials)
+    has_sss = any(m.kind == apilib.MAT_SUBSURFACE for m in sd.materials)
     accel = sd.accelerator if sd.accelerator == "kdtree" else "bvh"
     if accel == "kdtree":
         use_pallas = False  # packet kernel is BVH-only
@@ -56,6 +57,7 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
             use_pallas=use_pallas, staged=use_pallas,
             has_hair=has_hair, accel=accel,
             spatial_lights=spatial, sort_rays=sort_rays,
+            has_subsurface=has_sss,
         )
     if kind == "directlighting":
         return pathlib_.PathConfig(

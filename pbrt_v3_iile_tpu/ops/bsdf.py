@@ -23,7 +23,7 @@ from . import sampling as smp
 from ..scene.api import (
     MAT_NONE, MAT_MATTE, MAT_PLASTIC, MAT_MIRROR, MAT_GLASS, MAT_METAL,
     MAT_UBER, MAT_SUBSTRATE, MAT_TRANSLUCENT, MAT_DISNEY, MAT_HAIR,
-    MAT_FOURIER,
+    MAT_FOURIER, MAT_SUBSURFACE,
 )
 from . import hair as hairlib
 
@@ -175,6 +175,20 @@ def schlick_fresnel(rs, cos_i):
     return rs + pw * (1.0 - rs)
 
 
+def fresnel_moment1(eta):
+    """First moment of the Fresnel reflectance, polynomial fits
+    (ref: core/bssrdf.cpp FresnelMoment1)."""
+    e2 = eta * eta
+    e3 = e2 * eta
+    e4 = e3 * eta
+    e5 = e4 * eta
+    lo = (0.45966 - 1.73965 * eta + 3.37668 * e2 - 3.904945 * e3
+          + 2.49277 * e4 - 0.68441 * e5)
+    hi = (-4.61686 + 11.1136 * eta - 10.4646 * e2 + 5.11455 * e3
+          - 1.27198 * e4 + 0.12746 * e5)
+    return jnp.where(eta < 1.0, lo, hi)
+
+
 # ---------------------------------------------------------------------------
 # Trowbridge-Reitz (GGX) microfacet distribution, isotropic
 # (ref: src/core/microfacet.cpp)
@@ -261,7 +275,7 @@ def _lobe_weights(p: BsdfParams):
     k = p.kind
     w_d = jnp.where((k == MAT_MATTE) | (k == MAT_PLASTIC) | (k == MAT_UBER)
                     | (k == MAT_SUBSTRATE) | (k == MAT_TRANSLUCENT)
-                    | (k == MAT_FOURIER),
+                    | (k == MAT_FOURIER) | (k == MAT_SUBSURFACE),
                     _lum(p.kd), 0.0)
     w_g = jnp.where((k == MAT_PLASTIC) | (k == MAT_UBER)
                     | (k == MAT_TRANSLUCENT) | (k == MAT_FOURIER),
@@ -269,7 +283,8 @@ def _lobe_weights(p: BsdfParams):
     w_g = jnp.where(k == MAT_METAL, 1.0, w_g)
     w_g = jnp.where(k == MAT_HAIR, 1.0, w_g)
     w_g = jnp.where(k == MAT_SUBSTRATE, _lum(p.ks), w_g)
-    w_r = jnp.where((k == MAT_MIRROR) | (k == MAT_UBER), _lum(p.kr), 0.0)
+    w_r = jnp.where((k == MAT_MIRROR) | (k == MAT_UBER)
+                    | (k == MAT_SUBSURFACE), _lum(p.kr), 0.0)
     w_r = jnp.where(k == MAT_GLASS, _lum(p.kr), w_r)
     w_t = jnp.where(k == MAT_GLASS, _lum(p.kt), 0.0)
     # disney: diffuse gated by (1-metallic)(1-specTrans); glossy always
@@ -513,7 +528,8 @@ def sample(p: BsdfParams, wo, u_lobe, u2, enable_hair: bool = True) -> BsdfSampl
     fr_mirror = jnp.ones_like(p.kr)
     fr_sr = jnp.where(is_glass[..., None],
                       fr_g[..., None],
-                      jnp.where((p.kind == MAT_UBER)[..., None],
+                      jnp.where(((p.kind == MAT_UBER)
+                                 | (p.kind == MAT_SUBSURFACE))[..., None],
                                 fr_dielectric(wo[..., 2],
                                               jnp.ones_like(p.eta),
                                               p.eta)[..., None],

@@ -24,6 +24,9 @@ DIM_PROBE = 8
 DIM_MEDIUM_TRACK = 9   # grid-media delta tracking steps
 DIM_TIME = 10          # camera shutter time (motion blur)
 DIM_MEDIUM_TR = 11     # grid-media shadow ratio tracking steps
+DIM_SSS_PROBE = 12     # BSSRDF probe: axis/channel/radius/phi
+DIM_SSS_EXIT = 13      # BSSRDF exit direction (cosine hemisphere)
+DIM_SSS_NEE = 14       # BSSRDF exit-vertex light sample
 
 
 def wave_key(base_key, pass_idx, bounce, purpose):

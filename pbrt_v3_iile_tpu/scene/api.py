@@ -101,6 +101,9 @@ class MaterialRecord:
     # fourier: host table (ops/fourierbsdf.FourierTable) densified at
     # device build; kd/ks/roughness above hold the sampling proxy
     fourier_table: object = None
+    # subsurface: per-channel Burley diffusion length (kd holds the
+    # profile albedo A; see the subsurface branch below)
+    sss_d: np.ndarray = None
 
 
 @dataclasses.dataclass
@@ -646,15 +649,18 @@ class Api:
                               ps.find_one_float("alpha", 2.0),
                               0, 0, 0, 0, 0], np.float32)
         elif kind in ("subsurface", "kdsubsurface"):
-            # (ref: materials/subsurface.cpp, kdsubsurface.cpp).  The
-            # reference attaches a tabulated SeparableBSSRDF probed with
-            # extra geometry rays; the wavefront re-design collapses the
-            # subsurface term to its *total diffuse reflectance* Rd via the
-            # classical dipole albedo relation (Jensen et al. 2001, the
-            # same relation pbrt's SubsurfaceFromDiffuse inverts), layered
-            # under a Fresnel dielectric — an approximation that preserves
-            # total energy and color but not spatial bleeding.
-            m.kind = MAT_UBER
+            # (ref: materials/subsurface.cpp, kdsubsurface.cpp +
+            # core/bssrdf.cpp SeparableBSSRDF).  The render path samples a
+            # true spatial BSSRDF: Fresnel entry, probe-ray exit-point
+            # sampling from a Burley normalized-diffusion radial profile
+            # (Christensen & Burley 2015 — the analytic stand-in for the
+            # reference's tabulated beam-diffusion profile), 3-axis/
+            # 3-channel MIS Pdf_Sp, and a (1-Fr)/c exit lobe
+            # (integrators/path.py BSSRDF block).  kd holds the profile
+            # albedo A (= dipole Rd for sigma-parameterized materials;
+            # Kd directly for kdsubsurface), sss_d the per-channel
+            # diffusion length.
+            m.kind = MAT_SUBSURFACE
             m.eta = ps.find_one_float("eta", 1.33)
             if kind == "subsurface":
                 scale = ps.find_one_float("scale", 1.0)
@@ -668,8 +674,15 @@ class Api:
                 rd = 0.5 * ap * (1.0 + np.exp(-4.0 / 3.0 * A * s3)) \
                     * np.exp(-s3)
                 m.kd = rd.astype(np.float32)
+                mfp = 1.0 / np.maximum(sa + ss, 1e-9)   # per-channel ell
             else:
                 m.kd = ps.find_one_rgb("Kd", [0.5, 0.5, 0.5])
+                mfp = np.full(3, ps.find_one_float("mfp", 1.0))
+            # Burley similarity fit: s = 1.85 - A + 7|A - 0.8|^3;
+            # diffusion length d = ell / s
+            A_prof = np.asarray(m.kd, np.float64)
+            s_fit = 1.85 - A_prof + 7.0 * np.abs(A_prof - 0.8) ** 3
+            m.sss_d = (mfp / np.maximum(s_fit, 1e-6)).astype(np.float32)
             m.kr = ps.find_one_rgb("Kr", [1, 1, 1])
             m.ks = np.zeros(3, np.float32)
             m.roughness = ps.find_one_float("roughness", 0.0)

@@ -163,6 +163,9 @@ class DeviceScene(NamedTuple):
     # --- ptex face index per triangle (ref: triangle.cpp faceIndices →
     # SurfaceInteraction::faceIndex; consumed by scene/textures.py) ---
     tri_face: jnp.ndarray = jnp.zeros(1, jnp.int32)  # (T,) or (1,)
+    # --- BSSRDF per-channel Burley diffusion length (ref: core/bssrdf.cpp
+    # TabulatedBSSRDF's radial profile role; integrators/path.py) ---
+    mat_sss_d: jnp.ndarray = jnp.zeros((1, 3), jnp.float32)  # (M,3)
 
 
 def _pad(a, n, fill=0.0):
@@ -272,10 +275,13 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
     ro_tex = np.full(M, -1, np.int32)
     fr_id = np.full(M, -1, np.int32)
     fourier_tables = []
+    sss_d = np.zeros((M, 3), np.float32)
     for i, m in enumerate(sd.materials):
         if getattr(m, "fourier_table", None) is not None:
             fr_id[i] = len(fourier_tables)
             fourier_tables.append(m.fourier_table)
+        if getattr(m, "sss_d", None) is not None:
+            sss_d[i] = m.sss_d
         kd_tex[i] = tex_ids.get(m.kd_tex, -1)
         ks_tex[i] = tex_ids.get(m.ks_tex, -1)
         sg_tex[i] = tex_ids.get(m.sigma_tex, -1)
@@ -665,6 +671,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         mat_metal_k=f32(mk_k), mat_sigma=f32(sigma), mat_remap=f32(remap),
         mat_aux=f32(mat_aux),
         tri_face=i32(face),
+        mat_sss_d=f32(sss_d),
         mat_fourier_id=i32(fr_id),
         fourier=(fourierlib.densify(fourier_tables)
                  if fourier_tables else None),
