@@ -439,6 +439,10 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
         if cfg.has_subsurface:
             from ..scene.api import MAT_SUBSURFACE
             sss = found & alive & (params.kind == MAT_SUBSURFACE)
+            if cfg.volumetric:
+                # a medium-scatter vertex ends the segment BEFORE the
+                # surface: the surface's bssrdf must not fire
+                sss = sss & (~scatter) & (~passthrough)
             beta_pre_sss = beta
         else:
             sss = jnp.zeros(N, bool)
@@ -682,6 +686,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                          accel=cfg.accel, time=time)
                 pit = isect.make_interaction(scene, base, p_dir, ph,
                                              time=time)
+                # differentiable mode: probe geometry frozen like the
+                # main path's (grad flows through albedo/profile terms)
+                pit = jax.tree.map(sg, pit)
                 ray_count = ray_count + jnp.sum(do_probe)
                 same = ph.valid & (pit.mat == it.mat)
                 diffv = pit.p - it.p
