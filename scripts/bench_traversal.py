@@ -65,13 +65,23 @@ def make_waves(scene, cam, N, seed=0):
     }
 
 
+def _force(out):
+    """Bring a data-dependent scalar to the host.  block_until_ready on
+    the axon relay can ACK before the computation finishes (measured
+    584 'Mrays/s' that way vs 0.6 real — see BENCH_NOTES.md); a value
+    computed from the result cannot lie."""
+    s = 0.0
+    for leaf in jax.tree.leaves(out):
+        s += float(jnp.sum(leaf.astype(jnp.float32)
+                           * jnp.float32(1e-9)))
+    return s
+
+
 def time_fn(f, *args, reps=5):
-    out = f(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    _force(f(*args))
     t0 = time.time()
     for _ in range(reps):
-        out = f(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+        _force(f(*args))
     return (time.time() - t0) / reps
 
 
