@@ -37,6 +37,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 CLUSTER_SIZE = 64
@@ -200,3 +201,224 @@ def intersect_clusters_dense(cs: ClusterSet, cluster_ids, o, d, t_max,
     b1 = jnp.abs(wsel(w2) * inv_s)
     b2 = jnp.abs(wsel(w0) * inv_s)
     return (jnp.where(valid, tbest, t_max), prim, b1, b2, valid)
+
+
+# ---------------------------------------------------------------------------
+# Grouped pipeline: sort rays -> cull clusters per group -> chunked dense
+# intersection.  Pure XLA (batched matmuls + elementwise), no pallas.
+# ---------------------------------------------------------------------------
+
+def _morton10(x):
+    """Interleave 10 bits of x (i32 in [0,1024)) with two zero bits."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def sort_key(o, d, world_min, world_max):
+    """Coherence sort key: direction octant (high bits) then origin
+    Morton code — rays in one group share sign AND locality."""
+    oc = ((d[:, 0] < 0).astype(jnp.int32)
+          + 2 * (d[:, 1] < 0).astype(jnp.int32)
+          + 4 * (d[:, 2] < 0).astype(jnp.int32))
+    ext = jnp.maximum(world_max - world_min, 1e-9)
+    q = jnp.clip(((o - world_min[None]) / ext[None] * 1024.0)
+                 .astype(jnp.int32), 0, 1023)
+    m = (_morton10(q[:, 0]) | (_morton10(q[:, 1]) << 1)
+         | (_morton10(q[:, 2]) << 2))
+    return (oc << 27) | (m >> 3)   # keep within positive i32
+
+
+def _group_cull(o, d, t_alive, amin, amax, group):
+    """Conservative group-vs-cluster AABB test via interval slabs.
+
+    o, d: (N,3) sorted rays; group size G divides N.  Returns (Gn, K)
+    bool.  Interval arithmetic over the group's origin box and direction
+    box: the slab interval using extremal (origin, direction) pairs
+    contains every member ray's interval, so a rejected cluster is
+    rejected for every ray in the group."""
+    G = group
+    N = o.shape[0]
+    Gn = N // G
+    og = o.reshape(Gn, G, 3)
+    dg = d.reshape(Gn, G, 3)
+    live = (t_alive.reshape(Gn, G) > 0.0)[..., None]
+    big = jnp.float32(3.4e38)
+    olo = jnp.min(jnp.where(live, og, big), axis=1)     # (Gn,3)
+    ohi = jnp.max(jnp.where(live, og, -big), axis=1)
+    dlo = jnp.min(jnp.where(live, dg, big), axis=1)
+    dhi = jnp.max(jnp.where(live, dg, -big), axis=1)
+    any_live = (t_alive.reshape(Gn, G) > 0.0).any(axis=1)
+
+    # interval reciprocal of direction: if signs mix, the interval is
+    # unbounded -> slab cannot cull on that axis
+    eps = 1e-12
+    sign_mix = (dlo < -eps) & (dhi > eps)
+    # 1/d interval for sign-consistent axes (handle near-zero as huge)
+    inv_a = jnp.where(jnp.abs(dhi) > eps, 1.0 / jnp.where(
+        jnp.abs(dhi) > eps, dhi, 1.0), jnp.sign(dhi) * 1e30 + 1e30)
+    inv_b = jnp.where(jnp.abs(dlo) > eps, 1.0 / jnp.where(
+        jnp.abs(dlo) > eps, dlo, 1.0), jnp.sign(dlo) * 1e30 + 1e30)
+    inv_lo = jnp.minimum(inv_a, inv_b)                  # (Gn,3)
+    inv_hi = jnp.maximum(inv_a, inv_b)
+
+    # per (group, cluster, axis): extremal slab times
+    blo = amin[None, :, :]                              # (1,K,3)
+    bhi = amax[None, :, :]
+    # distances from origin box to slab planes (intervals)
+    lo1 = blo - ohi[:, None, :]                         # (Gn,K,3) min dist
+    lo2 = blo - olo[:, None, :]
+    hi1 = bhi - ohi[:, None, :]
+    hi2 = bhi - olo[:, None, :]
+
+    def interval_mul_min(p1, p2, q1, q2):
+        a = jnp.stack([p1 * q1, p1 * q2, p2 * q1, p2 * q2], 0)
+        return jnp.min(a, 0), jnp.max(a, 0)
+
+    tmin_ax = jnp.full(lo1.shape, -3.4e38)
+    tmax_ax = jnp.full(lo1.shape, 3.4e38)
+    # entry/exit per axis: [lo,hi] x inv interval; conservative bounds
+    e1lo, e1hi = interval_mul_min(lo1, lo2, inv_lo[:, None, :],
+                                  inv_hi[:, None, :])
+    e2lo, e2hi = interval_mul_min(hi1, hi2, inv_lo[:, None, :],
+                                  inv_hi[:, None, :])
+    near = jnp.minimum(e1lo, e2lo)
+    far = jnp.maximum(e1hi, e2hi)
+    mix = sign_mix[:, None, :]
+    tmin_ax = jnp.where(mix, tmin_ax, near)
+    tmax_ax = jnp.where(mix, tmax_ax, far)
+    tnear = jnp.maximum(jnp.max(tmin_ax, -1), 0.0)      # (Gn,K)
+    tfar = jnp.min(tmax_ax, -1)
+    return (tnear <= tfar) & any_live[:, None]
+
+
+def intersect_grouped(cs: ClusterSet, o, d, t_max, *, group: int = 256,
+                      max_candidates: int = 128, chunk: int = 8,
+                      world_min=None, world_max=None, precision=None,
+                      fallback=None):
+    """Full-scene intersection via sort + cull + dense cluster tests.
+
+    Returns (t, prim, b1, b2, valid) in the ORIGINAL ray order; prim is
+    a BVH-order triangle id.  Groups whose candidate count exceeds
+    max_candidates fall back to `fallback(o, d, t_alive)` (the packet /
+    XLA walker) for exactness; rays of non-overflowing groups are dead
+    (t_max<0) in that call, which the walkers price at ~zero."""
+    N = o.shape[0]
+    G = group
+    pad = (-N) % G
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.tile(jnp.asarray([[1.0, 0, 0]],
+                                                     d.dtype), (pad, 1))])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0,
+                                                 t_max.dtype)])
+    Np = N + pad
+    wmin = (jnp.min(cs.aabb_min, 0) if world_min is None else world_min)
+    wmax = (jnp.max(cs.aabb_max, 0) if world_max is None else world_max)
+    key = sort_key(o, d, wmin, wmax)
+    # dead rays sort to the back so they concentrate in few groups
+    key = jnp.where(t_max > 0.0, key, jnp.int32(0x7FFFFFFF))
+    perm = jnp.argsort(key)
+    inv_perm = jnp.argsort(perm)
+    os_, ds_, ts_ = o[perm], d[perm], t_max[perm]
+
+    Gn = Np // G
+    K = cs.n_clusters
+    mask = _group_cull(os_, ds_, ts_, cs.aabb_min, cs.aabb_max, G)
+    n_cand = jnp.sum(mask, axis=1)                       # (Gn,)
+    MAXC = min(max_candidates, K)
+    # first MAXC candidate ids per group (cluster id order ~ tree order)
+    cand = jnp.argsort(jnp.where(mask, 0, 1), axis=1,
+                       stable=True)[:, :MAXC]            # (Gn, MAXC)
+    cand_valid = jnp.take_along_axis(mask, cand, axis=1)
+
+    C = cs.edge_feat.shape[2] // 3
+    ogr = os_.reshape(Gn, G, 3)
+    dgr = ds_.reshape(Gn, G, 3)
+    tgr = ts_.reshape(Gn, G)
+    r6, r8 = ray_features(ogr, dgr)                      # (Gn,G,6/8)
+
+    n_chunks = -(-MAXC // chunk)
+    lane = jnp.arange(C)[None, None, None, :]
+
+    def chunk_body(carry, ci):
+        best_t, best_flat = carry
+        ids = jax.lax.dynamic_slice_in_dim(cand, ci * chunk, chunk, 1)
+        idv = jax.lax.dynamic_slice_in_dim(cand_valid, ci * chunk,
+                                           chunk, 1)     # (Gn,ch)
+        ef = cs.edge_feat[ids]                           # (Gn,ch,6,3C)
+        pf = cs.plane_feat[ids]                          # (Gn,ch,8,C)
+        cnts = cs.tri_cnt[ids]                           # (Gn,ch)
+        W = jnp.einsum("gnf,gcfe->gnce", r6, ef,
+                       precision=precision)              # (Gn,G,ch,3C)
+        W = W.reshape(Gn, G, chunk, 3, C)
+        w0, w1, w2 = W[..., 0, :], W[..., 1, :], W[..., 2, :]
+        Pn = jnp.einsum("gnf,gcfe->gnce", r8[..., :4], pf[..., :4, :],
+                        precision=precision)             # (Gn,G,ch,C)
+        Dn = jnp.einsum("gnf,gcfe->gnce", r8[..., 4:7], pf[..., 4:7, :],
+                        precision=precision)
+        t = Pn / jnp.where(jnp.abs(Dn) > 1e-12, Dn,
+                           jnp.where(Dn >= 0, 1e-12, -1e-12))
+        s = w0 + w1 + w2
+        same = ((w0 >= 0) & (w1 >= 0) & (w2 >= 0)) | \
+            ((w0 <= 0) & (w1 <= 0) & (w2 <= 0))
+        ok = (same & (jnp.abs(s) > 1e-12) & (jnp.abs(Dn) > 1e-12)
+              & (t > 1e-5) & (t < tgr[..., None, None])
+              & (lane < cnts[:, None, :, None])
+              & idv[:, None, :, None])
+        t_ok = jnp.where(ok, t, jnp.inf)
+        tf = t_ok.reshape(Gn, G, -1)
+        j = jnp.argmin(tf, axis=-1)
+        tb = jnp.take_along_axis(tf, j[..., None], -1)[..., 0]
+        # encode (chunk-local cluster, tri, w0, w2) of the winner
+        kb = j // C
+        jb = j % C
+        offb = jnp.take_along_axis(ids, kb, 1)
+        prim = jnp.take(cs.tri_off, offb) + jb
+        w0b = jnp.take_along_axis(w0.reshape(Gn, G, -1), j[..., None],
+                                  -1)[..., 0]
+        w2b = jnp.take_along_axis(w2.reshape(Gn, G, -1), j[..., None],
+                                  -1)[..., 0]
+        sb = jnp.take_along_axis(s.reshape(Gn, G, -1), j[..., None],
+                                 -1)[..., 0]
+        upd = tb < best_t
+        best_t = jnp.where(upd, tb, best_t)
+        new_flat = jnp.stack([prim.astype(jnp.float32), w0b, w2b, sb], -1)
+        best_flat = jnp.where(upd[..., None], new_flat, best_flat)
+        return (best_t, best_flat), None
+
+    init = (jnp.full((Gn, G), jnp.inf),
+            jnp.zeros((Gn, G, 4)))
+    (best_t, best_flat), _ = jax.lax.scan(chunk_body, init,
+                                          jnp.arange(n_chunks))
+
+    valid = jnp.isfinite(best_t)
+    prim = jnp.where(valid, best_flat[..., 0].astype(jnp.int32), -1)
+    inv_s = jnp.where(jnp.abs(best_flat[..., 3]) > 1e-12,
+                      1.0 / best_flat[..., 3], 0.0)
+    b1 = jnp.abs(best_flat[..., 2] * inv_s)
+    b2 = jnp.abs(best_flat[..., 1] * inv_s)
+    t_out = jnp.where(valid, best_t, tgr)
+
+    # overflow groups -> exact fallback
+    overflow = n_cand > MAXC                             # (Gn,)
+    if fallback is not None:
+        ovr = jnp.repeat(overflow, G)                    # (Np,)
+        t_fb = jnp.where(ovr & (ts_ > 0), ts_, -1.0)
+        fb = fallback(os_, ds_, t_fb)
+        use = ovr.reshape(Gn, G) & fb.valid.reshape(Gn, G)
+        miss_fb = ovr.reshape(Gn, G) & ~fb.valid.reshape(Gn, G)
+        t_out = jnp.where(use, fb.t.reshape(Gn, G), t_out)
+        t_out = jnp.where(miss_fb, tgr, t_out)
+        prim = jnp.where(use, fb.prim.reshape(Gn, G), prim)
+        prim = jnp.where(miss_fb, -1, prim)
+        b1 = jnp.where(use, fb.b1.reshape(Gn, G), b1)
+        b2 = jnp.where(use, fb.b2.reshape(Gn, G), b2)
+        valid = jnp.where(ovr.reshape(Gn, G), fb.valid.reshape(Gn, G),
+                          valid)
+
+    flat = lambda x: x.reshape(Np)[inv_perm][:N]
+    return (flat(t_out), flat(prim), flat(b1), flat(b2), flat(valid))

@@ -154,3 +154,55 @@ def test_killeroo_clusters_match_bvh_walker():
     t_w = np.asarray(hit.t)
     assert np.allclose(np.asarray(t)[both], t_w[both], rtol=5e-3,
                        atol=5e-4)
+
+
+def test_grouped_pipeline_matches_walker_killeroo():
+    """End-to-end grouped pipeline (sort -> cull -> chunked dense) vs
+    the XLA walker on killeroo primary + incoherent rays."""
+    from pbrt_v3_iile_tpu.scene import api as apilib
+    from pbrt_v3_iile_tpu.integrators import render as renderlib
+    from pbrt_v3_iile_tpu.ops import intersect as isect
+    from pbrt_v3_iile_tpu.ops import camera as camlib
+
+    sd = apilib.load_scene("/root/reference/scenes/killeroo-simple.pbrt")
+    scene, cam = renderlib.build(sd, use_native_bvh=False)
+    flat = bvhlib.build_bvh(np.stack(
+        [np.asarray(scene.tri_p0),
+         np.asarray(scene.tri_p0) + np.asarray(scene.tri_e1),
+         np.asarray(scene.tri_p0) + np.asarray(scene.tri_e2)], axis=1),
+        use_native=False)
+    cs = cllib.build_clusters(
+        flat, np.asarray(scene.tri_p0)[flat.prim_order],
+        np.asarray(scene.tri_e1)[flat.prim_order],
+        np.asarray(scene.tri_e2)[flat.prim_order])
+
+    rng = np.random.default_rng(5)
+    N = 4096
+    px = jnp.asarray(rng.uniform(0, 700, (N, 2)).astype(np.float32))
+    o, d = camlib.generate_rays(cam, px)
+    tm = jnp.full(N, 1e30)
+    # add some incoherent rays: random origins in the world box
+    wmin = np.asarray(scene.world_min); wmax = np.asarray(scene.world_max)
+    o2 = jnp.asarray(rng.uniform(wmin, wmax, (N, 3)).astype(np.float32))
+    d2 = rng.normal(size=(N, 3)).astype(np.float32)
+    d2 = jnp.asarray(d2 / np.linalg.norm(d2, axis=-1, keepdims=True))
+    o = jnp.concatenate([o, o2]); d = jnp.concatenate([d, d2])
+    tm = jnp.full(2 * N, 1e30)
+    # a few dead rays mixed in
+    tm = tm.at[::97].set(-1.0)
+
+    def fallback(os_, ds_, ts_):
+        return isect.intersect_bvh(scene, os_, ds_, ts_)
+
+    t, prim, b1, b2, valid = cllib.intersect_grouped(
+        cs, o, d, tm, precision="highest", fallback=fallback)
+    ref = isect.intersect_bvh(scene, o, d, tm)
+    valid = np.asarray(valid); rv = np.asarray(ref.valid)
+    assert np.asarray(t).shape == (2 * N,)
+    agree = (valid == rv)
+    assert agree.mean() > 0.995, f"hit agreement {agree.mean():.4f}"
+    both = valid & rv & agree
+    assert np.allclose(np.asarray(t)[both], np.asarray(ref.t)[both],
+                       rtol=5e-3, atol=5e-4)
+    # dead rays stay dead
+    assert not valid[::97].any()
