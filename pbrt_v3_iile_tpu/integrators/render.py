@@ -32,7 +32,10 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
     has_hair = any(m.kind == apilib.MAT_HAIR for m in sd.materials)
     has_sss = any(m.kind == apilib.MAT_SUBSURFACE for m in sd.materials)
     accel = sd.accelerator if sd.accelerator == "kdtree" else "bvh"
-    if accel == "kdtree":
+    import os as _os_accel
+    if _os_accel.environ.get("PBRT_ACCEL", "") == "clusters":
+        accel = "clusters"  # experimental MXU-dense traversal
+    if accel in ("kdtree", "clusters"):
         use_pallas = False  # packet kernel is BVH-only
     media = getattr(sd, "media", [])
     has_media = len(media) > 0
@@ -54,7 +57,8 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None):
             rr_threshold=sd.integrator.rr_threshold,
             volumetric=(kind == "volpath" or has_media),
             grid_media=has_grid,
-            use_pallas=use_pallas, staged=use_pallas,
+            use_pallas=use_pallas,
+            staged=use_pallas or accel == "clusters",
             has_hair=has_hair, accel=accel,
             spatial_lights=spatial, sort_rays=sort_rays,
             has_subsurface=has_sss,

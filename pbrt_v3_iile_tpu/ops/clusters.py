@@ -45,7 +45,6 @@ CLUSTER_SIZE = 64
 
 class ClusterSet(NamedTuple):
     """Device-side cluster tables (triangles in BVH order)."""
-    n_clusters: int
     tri_off: jnp.ndarray      # (K,) i32 first triangle (BVH order)
     tri_cnt: jnp.ndarray      # (K,) i32 triangle count (<= CLUSTER_SIZE)
     aabb_min: jnp.ndarray     # (K,3) f32
@@ -135,7 +134,6 @@ def build_clusters(flat, tri_p0, tri_e1, tri_e2,
             pf[k, 3, j] = np.dot(n[t], p0[t])
             pf[k, 4:7, j] = n[t]
     return ClusterSet(
-        n_clusters=K,
         tri_off=jnp.asarray(off), tri_cnt=jnp.asarray(cnt),
         aabb_min=jnp.asarray(amin), aabb_max=jnp.asarray(amax),
         edge_feat=jnp.asarray(ef), plane_feat=jnp.asarray(pf))
@@ -326,7 +324,7 @@ def intersect_grouped(cs: ClusterSet, o, d, t_max, *, group: int = 256,
     os_, ds_, ts_ = o[perm], d[perm], t_max[perm]
 
     Gn = Np // G
-    K = cs.n_clusters
+    K = cs.aabb_min.shape[0]
     mask = _group_cull(os_, ds_, ts_, cs.aabb_min, cs.aabb_max, G)
     n_cand = jnp.sum(mask, axis=1)                       # (Gn,)
     MAXC = min(max_candidates, K)

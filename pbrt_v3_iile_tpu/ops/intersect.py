@@ -229,6 +229,19 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
     if time is not None:
         hit = intersect_bvh(scene, o, d, t_max, any_hit=any_hit, time=time)
         return intersect_spheres(scene, o, d, hit)
+    if accel == "clusters" and getattr(scene, "clusters", None) is not None:
+        # MXU-dense grouped cluster intersection (ops/clusters.py);
+        # overflow groups fall back to the XLA walker
+        from . import clusters as cluster_lib
+
+        def _fb(os_, ds_, ts_):
+            return intersect_bvh(scene, os_, ds_, ts_)
+
+        t, prim, b1, b2, valid = cluster_lib.intersect_grouped(
+            scene.clusters, o, d, t_max, fallback=_fb,
+            world_min=scene.world_min, world_max=scene.world_max)
+        hit = Hit(t=t, prim=prim, b1=b1, b2=b2, valid=valid)
+        return intersect_spheres(scene, o, d, hit)
     if accel == "kdtree" and not use_pallas:
         from . import kdtree as kdlib
         hit = kdlib.intersect_kd(scene, o, d, t_max, any_hit=any_hit)

@@ -166,6 +166,19 @@ class DeviceScene(NamedTuple):
     # --- BSSRDF per-channel Burley diffusion length (ref: core/bssrdf.cpp
     # TabulatedBSSRDF's radial profile role; integrators/path.py) ---
     mat_sss_d: jnp.ndarray = jnp.zeros((1, 3), jnp.float32)  # (M,3)
+    # --- MXU-dense cluster tables (ops/clusters.ClusterSet); built only
+    # under PBRT_ACCEL=clusters (experimental traversal path) ---
+    clusters: object = None
+
+
+def _build_clusters_maybe(flat, p, e1, e2):
+    """MXU-dense cluster tables (ops/clusters.py), opt-in via
+    PBRT_ACCEL=clusters; p/e1/e2 are the BVH-ordered device triangles so
+    cluster prim offsets ARE scene triangle ids."""
+    if os.environ.get("PBRT_ACCEL", "") != "clusters":
+        return None
+    from ..ops import clusters as cluster_lib
+    return cluster_lib.build_clusters(flat, p[:, 0], e1, e2)
 
 
 def _pad(a, n, fill=0.0):
@@ -672,6 +685,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         mat_aux=f32(mat_aux),
         tri_face=i32(face),
         mat_sss_d=f32(sss_d),
+        clusters=(_build_clusters_maybe(flat, p, e1, e2)),
         mat_fourier_id=i32(fr_id),
         fourier=(fourierlib.densify(fourier_tables)
                  if fourier_tables else None),

@@ -74,7 +74,7 @@ def test_dense_cluster_intersection_matches_brute_force():
     t_max = np.full(N, 1e30, np.float32)
 
     t, prim, b1, b2, valid = cllib.intersect_clusters_dense(
-        cs, jnp.arange(cs.n_clusters), jnp.asarray(o), jnp.asarray(d),
+        cs, jnp.arange(cs.aabb_min.shape[0]), jnp.asarray(o), jnp.asarray(d),
         jnp.asarray(t_max), precision="highest")
     t, prim, valid = np.asarray(t), np.asarray(prim), np.asarray(valid)
     b1, b2 = np.asarray(b1), np.asarray(b2)
@@ -109,7 +109,7 @@ def test_cluster_culling_aabbs_are_tight():
     amax = np.asarray(cs.aabb_max)
     off, cnt = np.asarray(cs.tri_off), np.asarray(cs.tri_cnt)
     verts = np.stack([p0[op], p0[op] + e1[op], p0[op] + e2[op]], 1)
-    for k in range(cs.n_clusters):
+    for k in range(cs.aabb_min.shape[0]):
         v = verts[off[k]:off[k] + cnt[k]].reshape(-1, 3)
         assert (v >= amin[k] - 1e-5).all() and (v <= amax[k] + 1e-5).all()
 
@@ -144,7 +144,7 @@ def test_killeroo_clusters_match_bvh_walker():
     hit = isect.intersect_bvh(scene, o, d, tm)
 
     t, prim, b1, b2, valid = cllib.intersect_clusters_dense(
-        cs, jnp.arange(cs.n_clusters), o, d, tm, precision="highest")
+        cs, jnp.arange(cs.aabb_min.shape[0]), o, d, tm, precision="highest")
     valid = np.asarray(valid)
     hv = np.asarray(hit.valid)
     assert (valid == hv).mean() > 0.995
