@@ -56,7 +56,7 @@ def main():
                             use_native=False)
     cs = cllib.build_clusters(flat, p0[flat.prim_order],
                               e1[flat.prim_order], e2[flat.prim_order])
-    log(f"{p0.shape[0]} tris -> {cs.n_clusters} clusters")
+    log(f"{p0.shape[0]} tris -> {cs.aabb_min.shape[0]} clusters")
 
     N = args.n
     rng = np.random.default_rng(0)
