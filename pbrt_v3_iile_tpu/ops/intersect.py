@@ -231,7 +231,9 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
         return intersect_spheres(scene, o, d, hit)
     if accel == "clusters" and getattr(scene, "clusters", None) is not None:
         # MXU-dense grouped cluster intersection (ops/clusters.py);
-        # overflow groups fall back to the XLA walker
+        # overflow groups fall back to the XLA walker.  Tunables via
+        # env (static at trace time): PBRT_CLUSTER_GROUP/_MAXC/_CHUNK.
+        import os as _os
         from . import clusters as cluster_lib
 
         def _fb(os_, ds_, ts_):
@@ -239,6 +241,9 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
 
         t, prim, b1, b2, valid = cluster_lib.intersect_grouped(
             scene.clusters, o, d, t_max, fallback=_fb,
+            group=int(_os.environ.get("PBRT_CLUSTER_GROUP", "256")),
+            max_candidates=int(_os.environ.get("PBRT_CLUSTER_MAXC", "128")),
+            chunk=int(_os.environ.get("PBRT_CLUSTER_CHUNK", "8")),
             world_min=scene.world_min, world_max=scene.world_max)
         hit = Hit(t=t, prim=prim, b1=b1, b2=b2, valid=valid)
         return intersect_spheres(scene, o, d, hit)
