@@ -65,6 +65,13 @@ def main(argv=None):
                     help="film checkpoint file for resumable renders")
     ap.add_argument("--checkpointEvery", type=int, default=16)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--accel", default=None,
+                    choices=["bvh", "kdtree", "clusters"],
+                    help="aggregate override (default: scene file / auto —"
+                    " fused clusters on TPU, BVH walker on CPU)")
+    ap.add_argument("--sortRays", action="store_true", dest="sort_rays",
+                    help="octant+Morton coherence sort before packet "
+                    "traversal (bvh accel only)")
     ap.add_argument("--multihost", action="store_true",
                     help="initialize the cross-host process group "
                     "(PBRT_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID)")
@@ -146,7 +153,8 @@ def main(argv=None):
         img, stats = renderlib.render(
             sd, spp=args.spp, seed=args.seed,
             checkpoint=args.filmCheckpoint,
-            checkpoint_every=args.checkpointEvery)
+            checkpoint_every=args.checkpointEvery,
+            accel=args.accel, sort_rays=args.sort_rays)
         write_output(out, img)
         if args.stats:
             print(json.dumps(stats), file=sys.stderr)

@@ -71,8 +71,13 @@ class PathConfig(NamedTuple):
                                       # path.cpp subsurface block); off ->
                                       # materials degrade to the dipole-Rd
                                       # uber approximation
-    accel: str = "bvh"                # aggregate: "bvh" | "kdtree"
+    accel: str = "bvh"                # aggregate: "bvh" | "kdtree" |
+                                      # "clusters" (fused MXU traversal)
                                       # (ref: api.cpp MakeAccelerator)
+    cluster_group: int = 256          # fused-kernel rays per group
+    cluster_maxc: int = 64            # fused-kernel max candidate
+                                      # clusters per group (overflow ->
+                                      # XLA-walker fallback)
 
 
 def _hg_p(cos_theta, g):
@@ -259,7 +264,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
             hit = isect.intersect(scene, o, d, t_max,
                                   use_pallas=cfg.use_pallas,
                                   sort=cfg.sort_rays, accel=cfg.accel,
-                                  time=time)
+                                  time=time,
+                                  cluster_group=cfg.cluster_group,
+                                  cluster_maxc=cfg.cluster_maxc)
         hit = jax.tree.map(sg, hit)
         with jax.named_scope("interaction"):
             it = isect.make_interaction(scene, o, d, hit, time=time)
@@ -480,7 +487,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
             with jax.named_scope("shadow"):
                 occ = isect.occluded(scene, o_sh, ls.wi, sh_tmax,
                                      use_pallas=cfg.use_pallas,
-                                     accel=cfg.accel, time=time)
+                                     accel=cfg.accel, time=time,
+                                     cluster_group=cfg.cluster_group,
+                                     cluster_maxc=cfg.cluster_maxc)
             vis = can_nee & (~occ)
             w_l = jnp.where(ls.is_delta, 1.0,
                             smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf))
@@ -683,7 +692,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                 with jax.named_scope("bssrdf_probe"):
                     ph = isect.intersect(scene, base, p_dir, probe_tmax,
                                          use_pallas=cfg.use_pallas,
-                                         accel=cfg.accel, time=time)
+                                         accel=cfg.accel, time=time,
+                                         cluster_group=cfg.cluster_group,
+                                         cluster_maxc=cfg.cluster_maxc)
                 pit = isect.make_interaction(scene, base, p_dir, ph,
                                              time=time)
                 # differentiable mode: probe geometry frozen like the
@@ -768,7 +779,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                 with jax.named_scope("bssrdf_shadow"):
                     occ_x = isect.occluded(scene, o_shx, lsx.wi, shx_tmax,
                                            use_pallas=cfg.use_pallas,
-                                           accel=cfg.accel, time=time)
+                                           accel=cfg.accel, time=time,
+                                           cluster_group=cfg.cluster_group,
+                                           cluster_maxc=cfg.cluster_maxc)
                 ray_count = ray_count + jnp.sum(can_x)
                 w_mis_x = jnp.where(
                     lsx.is_delta, 1.0,

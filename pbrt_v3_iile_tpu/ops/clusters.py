@@ -231,13 +231,22 @@ def sort_key(o, d, world_min, world_max):
 
 
 def _group_cull(o, d, t_alive, amin, amax, group):
+    """Conservative group-vs-cluster AABB test (mask only)."""
+    return group_cull_tnear(o, d, t_alive, amin, amax, group)[0]
+
+
+def group_cull_tnear(o, d, t_alive, amin, amax, group):
     """Conservative group-vs-cluster AABB test via interval slabs.
 
-    o, d: (N,3) sorted rays; group size G divides N.  Returns (Gn, K)
-    bool.  Interval arithmetic over the group's origin box and direction
+    o, d: (N,3) sorted rays; group size G divides N.  Returns
+    (mask (Gn,K) bool, tnear (Gn,K) f32) — tnear is a conservative
+    LOWER bound on any member ray's entry distance into the cluster
+    (the fused kernel's front-to-back order + early-break key).
+    Interval arithmetic over the group's origin box and direction
     box: the slab interval using extremal (origin, direction) pairs
     contains every member ray's interval, so a rejected cluster is
-    rejected for every ray in the group."""
+    rejected for every ray in the group.  The cull also rejects
+    clusters entirely beyond every live ray's t_max (shadow rays)."""
     G = group
     N = o.shape[0]
     Gn = N // G
@@ -251,17 +260,21 @@ def _group_cull(o, d, t_alive, amin, amax, group):
     dhi = jnp.max(jnp.where(live, dg, -big), axis=1)
     any_live = (t_alive.reshape(Gn, G) > 0.0).any(axis=1)
 
-    # interval reciprocal of direction: if signs mix, the interval is
-    # unbounded -> slab cannot cull on that axis
-    eps = 1e-12
-    sign_mix = (dlo < -eps) & (dhi > eps)
-    # 1/d interval for sign-consistent axes (handle near-zero as huge)
-    inv_a = jnp.where(jnp.abs(dhi) > eps, 1.0 / jnp.where(
-        jnp.abs(dhi) > eps, dhi, 1.0), jnp.sign(dhi) * 1e30 + 1e30)
-    inv_b = jnp.where(jnp.abs(dlo) > eps, 1.0 / jnp.where(
-        jnp.abs(dlo) > eps, dlo, 1.0), jnp.sign(dlo) * 1e30 + 1e30)
-    inv_lo = jnp.minimum(inv_a, inv_b)                  # (Gn,3)
-    inv_hi = jnp.maximum(inv_a, inv_b)
+    # interval reciprocal of direction: the axis can only cull when the
+    # whole direction interval is strictly one-signed and bounded away
+    # from zero; an interval touching [-eps, eps] (including one-sided
+    # zero-touching like [-0.5, 0]) is treated as mixed -> no cull.
+    # 1/x is monotone decreasing on a one-signed interval, so
+    # [dlo, dhi] -> [1/dhi, 1/dlo] for both the positive and negative
+    # cases.  (ADVICE r2: the old sign/±1e30 formulation was
+    # non-conservative for zero-touching intervals.)
+    eps = 1e-9
+    one_signed = (dlo >= eps) | (dhi <= -eps)
+    sign_mix = jnp.logical_not(one_signed)
+    safe_hi = jnp.where(one_signed, dhi, 1.0)
+    safe_lo = jnp.where(one_signed, dlo, 1.0)
+    inv_lo = 1.0 / safe_hi                              # (Gn,3)
+    inv_hi = 1.0 / safe_lo
 
     # per (group, cluster, axis): extremal slab times
     blo = amin[None, :, :]                              # (1,K,3)
@@ -290,7 +303,13 @@ def _group_cull(o, d, t_alive, amin, amax, group):
     tmax_ax = jnp.where(mix, tmax_ax, far)
     tnear = jnp.maximum(jnp.max(tmin_ax, -1), 0.0)      # (Gn,K)
     tfar = jnp.min(tmax_ax, -1)
-    return (tnear <= tfar) & any_live[:, None]
+    # clusters beyond every live ray's t_max can never matter (bounded
+    # shadow rays; 1e30 primaries are unaffected)
+    t_hi = jnp.max(jnp.where(live[..., 0], t_alive.reshape(Gn, G), 0.0),
+                   axis=1)                               # (Gn,)
+    mask = ((tnear <= tfar) & (tnear <= t_hi[:, None])
+            & any_live[:, None])
+    return mask, tnear
 
 
 def intersect_grouped(cs: ClusterSet, o, d, t_max, *, group: int = 256,

@@ -1,0 +1,385 @@
+"""Fused Pallas cluster-traversal kernel: the TPU-native BVH hot loop.
+
+This is the round-3 rebuild of the MXU-dense cluster idea
+(ops/clusters.py keeps the XLA reference implementation): instead of
+materializing (rays, chunk, 3C) side-test tensors through HBM (~800 MB
+per scan step — bandwidth-bound at 0.84 Mrays/s), ONE Pallas kernel per
+ray wave keeps everything in VMEM:
+
+- grid over ray *groups* (G rays, octant+Morton sorted for coherence);
+  Pallas pipelines the per-group ray/output blocks automatically;
+- per group, a double-buffered DMA streams the candidate clusters'
+  packed feature matrices (16, 5*C) from HBM while the MXU tests the
+  previous cluster: one (G,16)@(16,5*C) matmul yields the three
+  Pluecker edge sides w0/w1/w2, the plane numerator and denominator
+  for all C triangles of the cluster at once;
+- the running closest-hit (t, prim, w0, w2, s) lives in registers as
+  (G,1) columns — no intermediate ever touches HBM;
+- candidate cluster ids come from a conservative group-vs-AABB interval
+  cull done in XLA (ops/clusters.sort_key/_group_cull), front-to-back
+  ordered so the t-pruning (`t < best_t`) kills most lanes early.
+
+Feature packing (per cluster, (16, 5*C) f32), ray feature vector
+r = [d(3), o x d(3), -o(3), 1, 0...]:
+  cols [q*C + j] for quantity q of triangle j:
+    q=0,1,2: edge sides  rows 0:3 = a x b, rows 3:6 = b - a
+             (side = d.(a x b) + (o x d).(b - a), Shevtsov-style)
+    q=3: plane numerator rows 6:9 = n, row 9 = n.p0  (= n.p0 - n.o)
+    q=4: plane denom     rows 0:3 = n                (= n.d)
+  so t = num/den, and the side signs agree iff the ray crosses the
+  triangle; u = w2/s, v = w0/s with s = w0+w1+w2 (same convention as
+  ops/clusters.py, parity-tested).
+
+Replaces the reference renderer's hot loop
+(ref: src/accelerators/bvh.cpp:662 BVHAccel::Intersect,
+src/shapes/triangle.cpp:188 Triangle::Intersect).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect import Hit
+from . import clusters as cluster_lib
+
+C = 128          # triangles per cluster (one lane tile per quantity)
+NF = 16          # ray/triangle feature rows (10 used, padded to 16)
+NQ = 5           # quantities per triangle: w0 w1 w2 num den
+G_DEFAULT = 256  # rays per group
+MAXC_DEFAULT = 64
+
+
+class ClusterPack(NamedTuple):
+    """Device tables for the fused kernel (triangles in BVH order)."""
+    feat: jnp.ndarray      # (K, NF, NQ*C) f32 packed features (HBM)
+    tri_off: jnp.ndarray   # (K,) i32 first triangle id
+    tri_cnt: jnp.ndarray   # (K,) i32 valid triangles (<= C)
+    aabb_min: jnp.ndarray  # (K,3) f32
+    aabb_max: jnp.ndarray  # (K,3) f32
+
+
+def build_cluster_pack(flat, tri_p0, tri_e1, tri_e2,
+                       max_tris: int = C) -> ClusterPack:
+    """Vectorized host-side build (no per-triangle Python loop).
+
+    flat: ops/bvh.FlatBVH; tri_*: (T,3) BVH-ordered triangle soup."""
+    ranges = cluster_lib._subtree_ranges(flat, max_tris)
+    K = len(ranges)
+    off = np.asarray([r[0] for r in ranges], np.int32)
+    cnt = np.asarray([r[1] for r in ranges], np.int32)
+    order = np.argsort(off, kind="stable")
+    off, cnt = off[order], cnt[order]
+    T = int(cnt.sum())
+
+    p0 = np.asarray(tri_p0, np.float64)[:T]
+    e1 = np.asarray(tri_e1, np.float64)[:T]
+    e2 = np.asarray(tri_e2, np.float64)[:T]
+    p1 = p0 + e1
+    p2 = p0 + e2
+    n = np.cross(e1, e2)
+
+    k_of = np.repeat(np.arange(K), cnt)           # (T,) cluster per tri
+    j_of = np.arange(T) - off[k_of]               # (T,) slot in cluster
+
+    feat = np.zeros((K, NF, NQ * max_tris), np.float32)
+    rows3 = np.arange(3)
+    for q, (a, b) in enumerate(((p0, p1), (p1, p2), (p2, p0))):
+        col = q * max_tris + j_of
+        feat[k_of[:, None], rows3[None, :], col[:, None]] = \
+            np.cross(a, b).astype(np.float32)
+        feat[k_of[:, None], 3 + rows3[None, :], col[:, None]] = \
+            (b - a).astype(np.float32)
+    col = 3 * max_tris + j_of
+    feat[k_of[:, None], 6 + rows3[None, :], col[:, None]] = \
+        n.astype(np.float32)
+    feat[k_of, 9, col] = np.einsum("td,td->t", n, p0).astype(np.float32)
+    col = 4 * max_tris + j_of
+    feat[k_of[:, None], rows3[None, :], col[:, None]] = \
+        n.astype(np.float32)
+
+    # per-cluster AABBs via segment reductions over contiguous ranges
+    v = np.stack([p0, p1, p2], 1)                 # (T,3,3)
+    tmin = v.min(1)
+    tmax = v.max(1)
+    amin = np.minimum.reduceat(tmin, off)[:K].astype(np.float32)
+    amax = np.maximum.reduceat(tmax, off)[:K].astype(np.float32)
+
+    return ClusterPack(
+        feat=jnp.asarray(feat), tri_off=jnp.asarray(off),
+        tri_cnt=jnp.asarray(cnt), aabb_min=jnp.asarray(amin),
+        aabb_max=jnp.asarray(amax))
+
+
+def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
+                           ncand_ref, rays_ref, tmax_ref, feat_hbm,
+                           t_out, prim_out,
+                           fbuf, sems, *, any_hit: bool, maxc: int):
+    """One grid program = one ray group vs its candidate clusters.
+
+    Candidates arrive sorted by conservative entry distance (ctn_ref);
+    the loop EXITS as soon as every ray's current best hit is nearer
+    than the next cluster's entry bound — exact occlusion culling, the
+    TPU analogue of the BVH walker's ordered descent
+    (ref: bvh.cpp:662 near-child-first traversal)."""
+    r = rays_ref[0]                  # (G, NF)
+    tmax = tmax_ref[0]               # (G, 1)
+    n = ncand_ref[0, 0, 0]
+    Gr = r.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Gr, C), 1)
+    big_t = jnp.float32(3.0e38)
+
+    def dma(slot, i):
+        cid = cand_ref[0, 0, i]
+        return pltpu.make_async_copy(feat_hbm.at[cid], fbuf.at[slot],
+                                     sems.at[slot])
+
+    @pl.when(n > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(st):
+        i, done, best_t, best_prim = st
+        return (i < n) & jnp.logical_not(done)
+
+    def step(st):
+        i, done, best_t, best_prim = st
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < n)
+        def _():
+            dma(1 - slot, i + 1).start()
+
+        dma(slot, i).wait()
+        F = fbuf[slot]                                # (NF, NQ*C)
+
+        # Thin-K contraction as explicit VPU outer-product accumulation:
+        # at K=16 the MXU pads the contraction to 128 (8x wasted passes,
+        # and f32 needs multi-pass bf16 emulation); 25 full-rate f32
+        # madds on (G, C) tiles beat it AND keep exact f32 precision
+        # (no bf16 side-test cancellation — the ADVICE r2 precision
+        # concern).
+        def contract(col0, rows, rcols):
+            acc = None
+            for f, rc in zip(rows, rcols):
+                term = r[:, rc:rc + 1] * F[f:f + 1, col0:col0 + C]
+                acc = term if acc is None else acc + term
+            return acc                                # (G, C)
+
+        e6 = (0, 1, 2, 3, 4, 5)
+        w0 = contract(0 * C, e6, e6)
+        w1 = contract(1 * C, e6, e6)
+        w2 = contract(2 * C, e6, e6)
+        num = contract(3 * C, (6, 7, 8, 9), (6, 7, 8, 9))
+        den = contract(4 * C, (0, 1, 2), (0, 1, 2))
+        t = num / jnp.where(jnp.abs(den) > 1e-12, den,
+                            jnp.where(den >= 0, 1e-12, -1e-12))
+        s = w0 + w1 + w2
+        same = (((w0 >= 0) & (w1 >= 0) & (w2 >= 0))
+                | ((w0 <= 0) & (w1 <= 0) & (w2 <= 0)))
+        cnt = ccnt_ref[0, 0, i]
+        ok = (same & (jnp.abs(s) > 1e-12) & (jnp.abs(den) > 1e-12)
+              & (t > 1e-5) & (t < best_t) & (lane < cnt))
+        t_ok = jnp.where(ok, t, big_t)
+        tmin = jnp.min(t_ok, axis=1, keepdims=True)   # (G,1)
+        upd = tmin < best_t
+        win = (t_ok == tmin) & ok
+        lane_w = jnp.min(jnp.where(win, lane, jnp.int32(2 ** 30)),
+                         axis=1, keepdims=True)
+        prim_new = coff_ref[0, 0, i] + lane_w
+        best_t = jnp.where(upd, tmin, best_t)
+        best_prim = jnp.where(upd, prim_new, best_prim)
+
+        # exact early break: candidate i+1 (and all later ones — the
+        # list is tnear-sorted) cannot beat best_t for any ray.  Dead
+        # rays (best_t = -big) always satisfy it; unhit live rays have
+        # best_t = tmax, which for shadow rays bounds the search.
+        nxt_tn = ctn_ref[0, 0, jnp.minimum(i + 1, maxc - 1)]
+        fin = best_t <= nxt_tn
+        if any_hit:
+            fin = fin | (best_prim >= 0)
+        done = jnp.all(fin)
+        return i + 1, done, best_t, best_prim
+
+    init = (jnp.int32(0), False,
+            jnp.where(tmax > 0.0, tmax, -big_t),  # dead rays match nothing
+            jnp.full((Gr, 1), -1, jnp.int32))
+    i_fin, done_fin, best_t, best_prim = jax.lax.while_loop(cond, step,
+                                                            init)
+
+    # drain: a break at iteration i-1 leaves the prefetched DMA for
+    # iteration i in flight — wait it so the semaphore state stays clean
+    # across grid steps
+    @pl.when(done_fin & (i_fin < n))
+    def _():
+        dma(jax.lax.rem(i_fin, 2), i_fin).wait()
+
+    hitm = best_prim >= 0
+    t_out[0] = jnp.where(hitm, best_t, tmax)
+    prim_out[0] = best_prim
+
+
+def _run_kernel(feat, cand, coff, ccnt, ctn, ncand, rays, tmax, *,
+                any_hit: bool, interpret: bool):
+    Gn, G, _ = rays.shape
+    maxc = cand.shape[-1]
+    smem = lambda shape: pl.BlockSpec(
+        shape, lambda g: (g,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.SMEM)
+    vmem = lambda shape: pl.BlockSpec(
+        shape, lambda g: (g,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((Gn, G, 1), jnp.float32),
+        jax.ShapeDtypeStruct((Gn, G, 1), jnp.int32),
+    ]
+    kern = functools.partial(_traverse_group_kernel, any_hit=any_hit,
+                             maxc=maxc)
+    return pl.pallas_call(
+        kern,
+        grid=(Gn,),
+        in_specs=[
+            # scalar tables ride as (Gn, 1, MAXC): the TPU lowering
+            # requires the last two BLOCK dims to equal the array dims
+            # (or be 8/128-divisible), so the grid axis leads
+            smem((1, 1, maxc)),                   # cand ids
+            smem((1, 1, maxc)),                   # tri offsets
+            smem((1, 1, maxc)),                   # tri counts
+            smem((1, 1, maxc)),                   # tnear (sorted)
+            smem((1, 1, 1)),                      # n candidates
+            vmem((1, G, NF)),                     # ray features
+            vmem((1, G, 1)),                      # t_max
+            pl.BlockSpec(memory_space=pltpu.HBM),  # features stay in HBM
+        ],
+        out_specs=[vmem((1, G, 1))] * 2,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((2, NF, NQ * C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(cand, coff, ccnt, ctn, ncand, rays, tmax, feat)
+
+
+def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
+                             any_hit: bool = False, group: int = G_DEFAULT,
+                             max_candidates: int = MAXC_DEFAULT,
+                             world_min=None, world_max=None,
+                             fallback=None, interpret: bool = False,
+                             tri_p0=None, tri_e1=None, tri_e2=None) -> Hit:
+    """Full-scene closest-hit (or any-hit) via the fused cluster kernel.
+
+    Sort -> conservative group cull -> front-to-back candidate lists ->
+    Pallas kernel; groups whose candidate count exceeds max_candidates
+    fall back to `fallback(o, d, t_alive)` (the XLA walker) for
+    exactness.  Returns Hit in the original ray order with BVH-order
+    triangle ids."""
+    N = o.shape[0]
+    G = group
+    pad = (-N) % G
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.asarray([[1.0, 0, 0]], d.dtype), (pad, 1))])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, t_max.dtype)])
+    Np = N + pad
+    Gn = Np // G
+    K = cp.aabb_min.shape[0]
+    MAXC = min(max_candidates, K)
+
+    wmin = jnp.min(cp.aabb_min, 0) if world_min is None else world_min
+    wmax = jnp.max(cp.aabb_max, 0) if world_max is None else world_max
+    key = cluster_lib.sort_key(o, d, wmin, wmax)
+    key = jnp.where(t_max > 0.0, key, jnp.int32(0x7FFFFFFF))
+    perm = jnp.argsort(key)
+    inv_perm = jnp.argsort(perm)
+    os_, ds_, ts_ = o[perm], d[perm], t_max[perm]
+
+    mask, tnear = cluster_lib.group_cull_tnear(
+        os_, ds_, ts_, cp.aabb_min, cp.aabb_max, G)      # (Gn,K)
+    n_cand = jnp.sum(mask, axis=1)
+
+    # front-to-back candidate order by conservative entry distance —
+    # the kernel's early-break key (monotone, so the break is exact)
+    big_t = jnp.float32(3.0e38)
+    order_key = jnp.where(mask, tnear, big_t)
+    order = jnp.argsort(order_key, axis=1)[:, :MAXC].astype(jnp.int32)
+    ctn = jnp.take_along_axis(order_key, order, axis=1)   # sorted tnear
+    cand_valid = jnp.take_along_axis(mask, order, axis=1)
+    cand = jnp.clip(order, 0, K - 1)
+    coff = jnp.take(cp.tri_off, cand)
+    ccnt = jnp.where(cand_valid, jnp.take(cp.tri_cnt, cand), 0)
+    ncand = jnp.minimum(n_cand, MAXC).astype(jnp.int32)[:, None]
+
+    r6, r8 = cluster_lib.ray_features(os_, ds_)          # (Np,6),(Np,8)
+    rays = jnp.concatenate(
+        [r6, r8[:, :4], jnp.zeros((Np, NF - 10), jnp.float32)],
+        axis=1).reshape(Gn, G, NF)
+    # ray layout check: [d, m, -o, 1, pad] matches the feature rows
+    tmax_b = ts_.reshape(Gn, G, 1)
+
+    t, prim = _run_kernel(
+        cp.feat, cand[:, None, :], coff[:, None, :], ccnt[:, None, :],
+        ctn[:, None, :], ncand[:, None, :], rays, tmax_b,
+        any_hit=any_hit, interpret=interpret)
+    t = t.reshape(Np)
+    prim = prim.reshape(Np)
+    valid = prim >= 0
+
+    # barycentrics post-hoc (ONE row gather + a 2x2 solve) — keeping
+    # them out of the kernel saves ~10 full-tile VPU ops per candidate
+    if tri_p0 is not None:
+        pid = jnp.clip(prim, 0, tri_p0.shape[0] - 1)
+        P0 = jnp.take(tri_p0, pid, axis=0)
+        E1 = jnp.take(tri_e1, pid, axis=0)
+        E2 = jnp.take(tri_e2, pid, axis=0)
+        q = os_ + t[:, None] * ds_ - P0
+        a11 = jnp.sum(E1 * E1, -1)
+        a12 = jnp.sum(E1 * E2, -1)
+        a22 = jnp.sum(E2 * E2, -1)
+        q1 = jnp.sum(E1 * q, -1)
+        q2 = jnp.sum(E2 * q, -1)
+        det = a11 * a22 - a12 * a12
+        inv = jnp.where(jnp.abs(det) > 1e-20, 1.0 / jnp.where(
+            det == 0, 1.0, det), 0.0)
+        b1 = jnp.clip((a22 * q1 - a12 * q2) * inv, 0.0, 1.0)
+        b2 = jnp.clip((a11 * q2 - a12 * q1) * inv, 0.0, 1.0)
+        b1 = jnp.where(valid, b1, 0.0)
+        b2 = jnp.where(valid, b2, 0.0)
+    else:
+        b1 = jnp.zeros(Np)
+        b2 = jnp.zeros(Np)
+
+    overflow = n_cand > MAXC                             # (Gn,)
+    if fallback is not None:
+        ovr = jnp.repeat(overflow, G)                    # (Np,)
+
+        def _run_fb(_):
+            t_fb = jnp.where(ovr & (ts_ > 0), ts_, -1.0)
+            return fallback(os_, ds_, t_fb)
+
+        def _no_fb(_):
+            return Hit(t=ts_, prim=jnp.full((Np,), -1, jnp.int32),
+                       b1=jnp.zeros(Np), b2=jnp.zeros(Np),
+                       valid=jnp.zeros(Np, bool))
+
+        # runtime-skipped when nothing overflowed (the fallback kernel
+        # is only dispatched for waves that actually need it)
+        fb = jax.lax.cond(jnp.any(overflow), _run_fb, _no_fb, None)
+        use = ovr & fb.valid
+        miss_fb = ovr & ~fb.valid
+        t = jnp.where(use, fb.t, jnp.where(miss_fb, ts_, t))
+        prim = jnp.where(use, fb.prim, jnp.where(miss_fb, -1, prim))
+        b1 = jnp.where(use, fb.b1, b1)
+        b2 = jnp.where(use, fb.b2, b2)
+        valid = jnp.where(ovr, fb.valid, valid)
+
+    unp = lambda x: x[inv_perm][:N]
+    return Hit(t=unp(t), prim=unp(prim), b1=unp(b1), b2=unp(b2),
+               valid=unp(valid))

@@ -218,34 +218,46 @@ def _coherence_key(scene, o, d):
 
 def intersect(scene, o, d, t_max, any_hit: bool = False,
               use_pallas: bool = False, sort: bool = False,
-              accel: str = "bvh", time=None) -> Hit:
+              accel: str = "bvh", time=None, cluster_group: int = 256,
+              cluster_maxc: int = 64) -> Hit:
     """Full scene intersection: aggregate triangles + analytic spheres.
 
-    accel selects the aggregate statically ("bvh" | "kdtree", ref:
-    api.cpp MakeAccelerator); the Pallas packet kernel is BVH-only, so
-    kdtree implies the XLA walker.  time enables object motion blur and
-    statically selects the XLA walker (the packet kernel has no keyframe
-    lerp)."""
+    accel selects the aggregate statically ("bvh" | "kdtree" |
+    "clusters", ref: api.cpp MakeAccelerator — clusters is the
+    TPU-native fused MXU traversal, ops/clusters_pallas.py); the Pallas
+    packet kernel is BVH-only, so kdtree implies the XLA walker.  time
+    enables object motion blur and statically selects the XLA walker
+    (the packet kernel has no keyframe lerp).  cluster_group /
+    cluster_maxc are the fused-kernel tunables, carried on PathConfig
+    (no env knobs — SURVEY §5 config plan)."""
     if time is not None:
         hit = intersect_bvh(scene, o, d, t_max, any_hit=any_hit, time=time)
         return intersect_spheres(scene, o, d, hit)
     if accel == "clusters" and getattr(scene, "clusters", None) is not None:
-        # MXU-dense grouped cluster intersection (ops/clusters.py);
-        # overflow groups fall back to the XLA walker.  Tunables via
-        # env (static at trace time): PBRT_CLUSTER_GROUP/_MAXC/_CHUNK.
-        import os as _os
-        from . import clusters as cluster_lib
+        # fused Pallas cluster traversal (ops/clusters_pallas.py);
+        # overflow groups fall back to the packet kernel (on device) or
+        # the XLA walker (CPU/interpret) — the walker's whole-wave
+        # while_loop costs seconds on TPU even when most rays are dead
+        import jax as _jax
+        from . import clusters_pallas as cluster_lib
+        interp = _jax.default_backend() == "cpu"
 
-        def _fb(os_, ds_, ts_):
-            return intersect_bvh(scene, os_, ds_, ts_)
+        if interp:
+            def _fb(os_, ds_, ts_):
+                return intersect_bvh(scene, os_, ds_, ts_, any_hit=any_hit)
+        else:
+            from . import intersect_pallas
 
-        t, prim, b1, b2, valid = cluster_lib.intersect_grouped(
-            scene.clusters, o, d, t_max, fallback=_fb,
-            group=int(_os.environ.get("PBRT_CLUSTER_GROUP", "256")),
-            max_candidates=int(_os.environ.get("PBRT_CLUSTER_MAXC", "128")),
-            chunk=int(_os.environ.get("PBRT_CLUSTER_CHUNK", "8")),
-            world_min=scene.world_min, world_max=scene.world_max)
-        hit = Hit(t=t, prim=prim, b1=b1, b2=b2, valid=valid)
+            def _fb(os_, ds_, ts_):
+                return intersect_pallas.intersect_bvh_pallas(
+                    scene, os_, ds_, ts_, any_hit=any_hit)
+
+        hit = cluster_lib.intersect_clusters_fused(
+            scene.clusters, o, d, t_max, any_hit=any_hit, fallback=_fb,
+            group=cluster_group, max_candidates=cluster_maxc,
+            world_min=scene.world_min, world_max=scene.world_max,
+            interpret=interp, tri_p0=scene.tri_p0, tri_e1=scene.tri_e1,
+            tri_e2=scene.tri_e2)
         return intersect_spheres(scene, o, d, hit)
     if accel == "kdtree" and not use_pallas:
         from . import kdtree as kdlib
@@ -274,11 +286,13 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
 
 def occluded(scene, o, d, t_max, use_pallas: bool = False,
              sort: bool = False, accel: str = "bvh",
-             time=None) -> jnp.ndarray:
+             time=None, cluster_group: int = 256,
+             cluster_maxc: int = 64) -> jnp.ndarray:
     """Shadow-ray IntersectP equivalent (ref: scene.cpp:56)."""
     return intersect(scene, o, d, t_max, any_hit=True,
                      use_pallas=use_pallas, sort=sort, accel=accel,
-                     time=time).valid
+                     time=time, cluster_group=cluster_group,
+                     cluster_maxc=cluster_maxc).valid
 
 
 class Interaction(NamedTuple):

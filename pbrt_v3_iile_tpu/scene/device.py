@@ -166,19 +166,24 @@ class DeviceScene(NamedTuple):
     # --- BSSRDF per-channel Burley diffusion length (ref: core/bssrdf.cpp
     # TabulatedBSSRDF's radial profile role; integrators/path.py) ---
     mat_sss_d: jnp.ndarray = jnp.zeros((1, 3), jnp.float32)  # (M,3)
-    # --- MXU-dense cluster tables (ops/clusters.ClusterSet); built only
-    # under PBRT_ACCEL=clusters (experimental traversal path) ---
+    # --- fused-kernel cluster tables (ops/clusters_pallas.ClusterPack);
+    # the TPU production traversal path (None on CPU-only builds) ---
     clusters: object = None
 
 
-def _build_clusters_maybe(flat, p, e1, e2):
-    """MXU-dense cluster tables (ops/clusters.py), opt-in via
-    PBRT_ACCEL=clusters; p/e1/e2 are the BVH-ordered device triangles so
-    cluster prim offsets ARE scene triangle ids."""
-    if os.environ.get("PBRT_ACCEL", "") != "clusters":
+def _build_clusters_maybe(flat, p, e1, e2, with_clusters):
+    """Packed cluster tables for the fused Pallas traversal
+    (ops/clusters_pallas.py); p/e1/e2 are the BVH-ordered device
+    triangles so cluster prim offsets ARE scene triangle ids.
+    with_clusters None = auto: build whenever a non-CPU backend is
+    attached (the TPU fast path needs them; CPU uses the XLA walker)."""
+    if with_clusters is None:
+        import jax
+        with_clusters = jax.default_backend() not in ("cpu",)
+    if not with_clusters:
         return None
-    from ..ops import clusters as cluster_lib
-    return cluster_lib.build_clusters(flat, p[:, 0], e1, e2)
+    from ..ops import clusters_pallas as cluster_lib
+    return cluster_lib.build_cluster_pack(flat, p[:, 0], e1, e2)
 
 
 def _pad(a, n, fill=0.0):
@@ -189,7 +194,8 @@ def _pad(a, n, fill=0.0):
     return np.concatenate([a, np.full(pad_shape, fill, dtype=a.dtype)], axis=0)
 
 
-def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> DeviceScene:
+def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True,
+                       with_clusters: bool = None) -> DeviceScene:
     # ---- concatenate triangle blocks ----
     if sd.tri_blocks:
         p = np.concatenate([b["p"] for b in sd.tri_blocks], axis=0)
@@ -685,7 +691,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True) -> Dev
         mat_aux=f32(mat_aux),
         tri_face=i32(face),
         mat_sss_d=f32(sss_d),
-        clusters=(_build_clusters_maybe(flat, p, e1, e2)),
+        clusters=(_build_clusters_maybe(flat, p, e1, e2, with_clusters)),
         mat_fourier_id=i32(fr_id),
         fourier=(fourierlib.densify(fourier_tables)
                  if fourier_tables else None),

@@ -18,7 +18,9 @@ import time
 from collections import defaultdict
 from contextlib import contextmanager
 
-_ENABLED = os.environ.get("PBRT_STATS", "") not in ("", "0")
+# enabled via enable() from the CLI --stats flag (cli/main.py) or by
+# harness callers — no env-var side channel (SURVEY §5 config plan)
+_ENABLED = False
 _STAGES: dict = defaultdict(float)
 _STAGE_CALLS: dict = defaultdict(int)
 _COUNTERS: dict = defaultdict(int)

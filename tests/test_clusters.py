@@ -206,3 +206,41 @@ def test_grouped_pipeline_matches_walker_killeroo():
                        rtol=5e-3, atol=5e-4)
     # dead rays stay dead
     assert not valid[::97].any()
+
+
+def test_group_cull_conservative_axis_aligned():
+    """The interval cull must never reject a cluster that a member ray
+    hits — including rays with exact-zero direction components
+    (ADVICE r2: one-sided zero-touching intervals like [-0.5, 0])."""
+    rng = np.random.default_rng(21)
+    K = 16
+    amin = rng.uniform(-4, 3, (K, 3)).astype(np.float32)
+    amax = (amin + rng.uniform(0.2, 1.5, (K, 3))).astype(np.float32)
+    G = 32
+    Gn = 8
+    o = rng.uniform(-5, 5, (Gn * G, 3)).astype(np.float32)
+    d = rng.normal(size=(Gn * G, 3)).astype(np.float32)
+    # zero out random components so direction intervals touch zero
+    zero_mask = rng.uniform(size=(Gn * G, 3)) < 0.4
+    d = np.where(zero_mask, 0.0, d)
+    keep = np.linalg.norm(d, axis=1) > 1e-6
+    d[~keep] = np.array([0.0, 0.0, 1.0])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t_alive = np.full(Gn * G, 1e30, np.float32)
+
+    mask = np.asarray(cllib._group_cull(
+        jnp.asarray(o), jnp.asarray(d), jnp.asarray(t_alive),
+        jnp.asarray(amin), jnp.asarray(amax), G))
+
+    # brute-force per-ray slab test
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = np.where(d == 0.0, np.where(d >= 0, 1e30, -1e30), 1.0 / d)
+    lo = (amin[None] - o[:, None]) * inv[:, None]        # (N,K,3)
+    hi = (amax[None] - o[:, None]) * inv[:, None]
+    tn = np.maximum(np.minimum(lo, hi).max(-1), 0.0)
+    tf = np.maximum(lo, hi).min(-1)
+    ray_hits = tn <= tf                                  # (N,K)
+    group_hits = ray_hits.reshape(Gn, G, K).any(axis=1)  # (Gn,K)
+    missed = group_hits & ~mask
+    assert not missed.any(), \
+        f"cull rejected {missed.sum()} group/cluster pairs with real hits"
