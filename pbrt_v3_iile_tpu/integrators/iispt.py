@@ -240,7 +240,7 @@ PIXEL_CHUNK = 16384
 
 def run_task(scene, cam, sd, net, net_vars, fns, key, task,
              hemi_size: int = 32, use_pallas: bool = False,
-             staged: bool = False):
+             staged: bool = False, accel: str = "bvh"):
     """Execute one schedule task: probes -> CNN -> per-pixel MIS.
     Host-driven stages (small device programs); returns
     (flat_idx (Np,), rgb (Np,3), valid (Np,)) as device arrays."""
@@ -255,13 +255,13 @@ def run_task(scene, cam, sd, net, net_vars, fns, key, task,
     o, d = fns["probe_rays"](cam, key, coords)
     fi = probelib.find_first_nonspecular(scene, o, d, key,
                                          use_pallas=use_pallas,
-                                         staged=staged)
+                                         staged=staged, accel=accel)
     probe_valid = fi["found"] & (vm.luminance(fi["beta"]) > 0.0)
 
     # ---- probe render + CNN ----
     gb = probelib.render_probes(scene, fi["p"], fi["n"], key,
                                 hemi_size, use_pallas=use_pallas,
-                                staged=staged)
+                                staged=staged, accel=accel)
     R = fns["cnn"](net_vars, gb.intensity, gb.normals, gb.distance,
                    probe_valid)
 
@@ -288,7 +288,7 @@ def run_task(scene, cam, sd, net, net_vars, fns, key, task,
                                    fx, fy)
         ff = probelib.find_first_nonspecular(
             scene, fo, fd, jax.random.fold_in(key, 8 + c0),
-            use_pallas=use_pallas, staged=staged)
+            use_pallas=use_pallas, staged=staged, accel=accel)
         gi = jnp.clip(lx // ts, 0, G - 2)
         gj = jnp.clip(ly // ts, 0, G - 2)
         n_ids = jnp.stack([
@@ -335,12 +335,34 @@ def render_iile(sd, net_vars=None, seed: int = 0,
 
     net = iisptnet.IISPTNet()
     if net_vars is None:
-        net_vars = net.init(jax.random.PRNGKey(42),
-                            jnp.zeros((1, hemi_size, hemi_size, 7)),
-                            train=False)
+        # the committed pretrained model is the default (the reference
+        # always ships/loads iispt_model.tch, ml/config.py:1); random
+        # weights are a last resort and produce garbage indirect light
+        import os as _os
+        from ..ml import train as _trainlib
+        ckpt = _trainlib.default_pretrained_path()
+        if _os.path.exists(ckpt):
+            net_vars = _trainlib.load_pretrained(ckpt)
+        else:
+            import warnings
+            warnings.warn(
+                "render_iile: no trained IISPTNet checkpoint found at "
+                f"{ckpt} — falling back to RANDOM weights; the indirect "
+                "pass will be meaningless. Train one with "
+                "scripts/train_demo.py or pass net_vars=.")
+            net_vars = net.init(jax.random.PRNGKey(42),
+                                jnp.zeros((1, hemi_size, hemi_size, 7)),
+                                train=False)
 
     t0 = time.time()
-    staged = bool(use_pallas)
+    # accel resolution mirrors make_integrator_config: fused clusters on
+    # accelerator backends when the scene build produced them
+    accel = ("clusters" if (jax.default_backend() not in ("cpu",)
+                            and getattr(scene, "clusters", None) is not None)
+             else "bvh")
+    if accel == "clusters":
+        use_pallas = False
+    staged = bool(use_pallas) or accel == "clusters"
     # ---------- indirect ----------
     tasks = schedlib.compute_schedule(W, H, indirect_tasks,
                                       radius_start=radius_start)
@@ -351,7 +373,8 @@ def render_iile(sd, net_vars=None, seed: int = 0,
         tkey = jax.random.fold_in(key, 1000 + task.task_number)
         idx, rgb, valid = run_task(scene, cam, sd, net, net_vars, fns,
                                    tkey, task, hemi_size=hemi_size,
-                                   use_pallas=use_pallas, staged=staged)
+                                   use_pallas=use_pallas, staged=staged,
+                                   accel=accel)
         ind_rgb = ind_rgb.at[idx].add(rgb)
         ind_cnt = ind_cnt.at[idx].add(valid.astype(jnp.float32))
         if report is not None:
@@ -360,7 +383,8 @@ def render_iile(sd, net_vars=None, seed: int = 0,
     # ---------- direct (progressive 1spp passes) ----------
     dcfg = pathlib_.PathConfig(
         max_depth=sd.integrator.max_depth, nee=True, nee_all=True,
-        direct_only=True, use_pallas=use_pallas, staged=staged)
+        direct_only=True, use_pallas=use_pallas, staged=staged,
+        accel=accel)
     dfn_raw = renderlib.render_pass_fn(sd, dcfg)
     dfn = dfn_raw if staged else jax.jit(dfn_raw, static_argnums=(4,))
     dir_film = filmlib.new_film(H, W)

@@ -36,7 +36,7 @@ class ProbeGBuffer(NamedTuple):
 
 def render_probes(scene, positions, normals, key, hemi_size: int = 32,
                   use_pallas: bool = False, staged: bool = False,
-                  jitter: bool = True) -> ProbeGBuffer:
+                  jitter: bool = True, accel: str = "bvh") -> ProbeGBuffer:
     """positions, normals: (P, 3) world-space probe anchors (the normal is
     the already-flipped outward surface normal, ref
     iisptrenderrunner.cpp:300-312)."""
@@ -61,6 +61,7 @@ def render_probes(scene, positions, normals, key, hemi_size: int = 32,
         skip_bounce0_le=True,
         use_pallas=use_pallas,
         staged=staged,
+        accel=accel,
     )
     kp = smplr.wave_key(key, 0, 0, smplr.DIM_PROBE)
     L, aux = pathlib_.trace_paths(scene, o, d, kp, cfg, collect_aux=True)
@@ -84,7 +85,8 @@ def render_probes(scene, positions, normals, key, hemi_size: int = 32,
 
 
 def find_first_nonspecular(scene, o, d, key, max_chase: int = 8,
-                           use_pallas: bool = False, staged: bool = False):
+                           use_pallas: bool = False, staged: bool = False,
+                           accel: str = "bvh"):
     """Specular chase: follow mirror/glass bounces to the first diffuse
     hit (ref: iisptrenderrunner.cpp:657-757 find_intersection, 24-bounce
     specular chase; 8 static iterations cover practical scenes).
@@ -105,13 +107,14 @@ def find_first_nonspecular(scene, o, d, key, max_chase: int = 8,
         jnp.zeros((N, 3), jnp.float32), jnp.zeros((N, 3), jnp.float32),
     )
     if staged:
-        step = _chase_step(use_pallas)
+        step = _chase_step(use_pallas, accel)
         carry = carry0
         for i in range(max_chase):
             carry = step(scene, carry, jnp.int32(i), key)
     else:
         carry, _ = jax.lax.scan(
-            lambda c, i: (_chase_body(scene, c, i, key, use_pallas), None),
+            lambda c, i: (_chase_body(scene, c, i, key, use_pallas,
+                                      accel), None),
             carry0, jnp.arange(max_chase))
     (o, d, beta, alive, found, p, n, wo, mat, uv, background,
      emitted) = carry
@@ -123,16 +126,16 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _chase_step(use_pallas: bool):
+def _chase_step(use_pallas: bool, accel: str = "bvh"):
     import jax
 
     @jax.jit
     def step(scene, carry, i, key):
-        return _chase_body(scene, carry, i, key, use_pallas)
+        return _chase_body(scene, carry, i, key, use_pallas, accel)
     return step
 
 
-def _chase_body(scene, carry, i, key, use_pallas):
+def _chase_body(scene, carry, i, key, use_pallas, accel: str = "bvh"):
     import jax
 
     from ..ops import bsdf as bsdflib
@@ -145,7 +148,8 @@ def _chase_body(scene, carry, i, key, use_pallas):
          emitted) = carry
         N = o.shape[0]
         t_max = jnp.where(alive, 1e30, -1.0)
-        hit = isect.intersect(scene, o, d, t_max, use_pallas=use_pallas)
+        hit = isect.intersect(scene, o, d, t_max, use_pallas=use_pallas,
+                              accel=accel)
         it = isect.make_interaction(scene, o, d, hit)
 
         esc = alive & (~hit.valid)

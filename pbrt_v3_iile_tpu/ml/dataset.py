@@ -66,7 +66,7 @@ def example_from_maps(p, d, n, z, aug: int = 0):
 
 def generate_examples(scene, cam, cam_kind, key, pixel_coords,
                       hemi_size: int = 32, gt_spp: int = 16,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, accel: str = "bvh"):
     """Render raw training maps at the given film pixels.
 
     pixel_coords: (P, 2) int film pixels (the reference_tiles grid,
@@ -86,20 +86,22 @@ def generate_examples(scene, cam, cam_kind, key, pixel_coords,
     p_film = pixel_coords.astype(jnp.float32) + jit_p
     o, d = camlib.generate_rays(cam, p_film, kind=cam_kind)
     fi = probelib.find_first_nonspecular(scene, o, d, key,
-                                         use_pallas=use_pallas)
+                                         use_pallas=use_pallas,
+                                         accel=accel)
     valid = fi["found"]
 
     # 1spp probe G-buffer (the network input)
     gb = probelib.render_probes(scene, fi["p"], fi["n"],
                                 jax.random.fold_in(key, 1), hemi_size,
-                                use_pallas=use_pallas)
+                                use_pallas=use_pallas, accel=accel)
 
     # ground truth: average of gt_spp jittered probe renders
     def gt_body(carry, i):
         acc = carry
         g = probelib.render_probes(scene, fi["p"], fi["n"],
                                    jax.random.fold_in(key, 100 + i),
-                                   hemi_size, use_pallas=use_pallas)
+                                   hemi_size, use_pallas=use_pallas,
+                                   accel=accel)
         return acc + g.intensity, None
 
     acc0 = jnp.zeros((P, hemi_size, hemi_size, 3), jnp.float32)

@@ -92,3 +92,53 @@ def load_checkpoint(path: str):
 def inference_variables(state_or_blob):
     return {"params": state_or_blob["params"],
             "batch_stats": state_or_blob["batch_stats"]}
+
+
+# ---------------------------------------------------------------------------
+# Committed pretrained artifact (the iispt_model.tch role, ref:
+# ml/config.py:1): a flat .npz of tree-path -> float16 arrays — compact,
+# pickle-free, loadable with numpy alone.
+# ---------------------------------------------------------------------------
+
+def _flatten_tree(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_tree(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def _unflatten_tree(flat):
+    tree = {}
+    for path, v in flat.items():
+        parts = path.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(np.asarray(v, np.float32))
+    return tree
+
+
+def save_pretrained(path: str, state_or_blob, dtype=np.float16):
+    """Save inference weights as a committed-friendly flat npz."""
+    flat = {}
+    for top in ("params", "batch_stats"):
+        flat.update(_flatten_tree({top: state_or_blob[top]}))
+    np.savez_compressed(path, **{k: v.astype(dtype)
+                                 for k, v in flat.items()})
+
+
+def load_pretrained(path: str):
+    """Load a save_pretrained artifact -> inference variables dict."""
+    z = np.load(path)
+    tree = _unflatten_tree({k: z[k] for k in z.files})
+    return {"params": tree.get("params", {}),
+            "batch_stats": tree.get("batch_stats", {})}
+
+
+def default_pretrained_path() -> str:
+    import os
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "pretrained", "iispt_pretrained.npz")
