@@ -74,7 +74,7 @@ class PathConfig(NamedTuple):
     accel: str = "bvh"                # aggregate: "bvh" | "kdtree" |
                                       # "clusters" (fused MXU traversal)
                                       # (ref: api.cpp MakeAccelerator)
-    cluster_group: int = 256          # fused-kernel rays per group
+    cluster_group: int = 128          # fused-kernel rays per group
     cluster_maxc: int = 64            # fused-kernel max candidate
                                       # clusters per group (overflow ->
                                       # XLA-walker fallback)

@@ -155,3 +155,67 @@ def batches_from_raw(raw_examples, batch_size: int, key, n_augment: int = 16):
             xs.append(x)
             ys.append(y)
         yield jnp.stack(xs), jnp.stack(ys)
+
+
+def generate_examples_sharded(scene, cam, cam_kind, key, pixel_coords,
+                              mesh=None, hemi_size: int = 32,
+                              gt_spp: int = 16, use_pallas: bool = False,
+                              accel: str = "bvh"):
+    """Mesh-sharded reference-mode generation (SURVEY P4).
+
+    Replaces the reference's MOD/MATCH multi-process pixel-grid sharding
+    (ref: iispt.cpp:479-505, tools/multiprocess_reference.py:6-33): the
+    probe batch is sharded over every mesh axis; each shard runs the
+    plain on-device generator on its slice with a key folded by its
+    shard index, so a single-device run that loops the shards serially
+    (see tests/test_multichip.py) reproduces the sharded output
+    bitwise — the same determinism contract as the row-chunked render
+    pass (SURVEY P1/P6).
+
+    pixel_coords count must divide evenly by the mesh size (pad with
+    duplicate coords and drop them afterwards if needed).  Returns the
+    same dict as generate_examples.
+    """
+    from ..parallel import mesh as meshlib
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    if mesh is None:
+        mesh = meshlib.make_mesh()
+    axes = (meshlib.AXIS_DP, meshlib.AXIS_TILE)
+    n_dev = mesh.devices.size
+    Pn = pixel_coords.shape[0]
+    if Pn % n_dev:
+        raise ValueError(f"probe count {Pn} must divide the mesh size "
+                         f"{n_dev}")
+
+    def shard_fn(coords_shard):
+        sid = (jax.lax.axis_index(meshlib.AXIS_DP) * mesh.shape[
+            meshlib.AXIS_TILE] + jax.lax.axis_index(meshlib.AXIS_TILE))
+        k = jax.random.fold_in(key, sid)
+        return generate_examples(scene, cam, cam_kind, k, coords_shard,
+                                 hemi_size=hemi_size, gt_spp=gt_spp,
+                                 use_pallas=use_pallas, accel=accel)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(P(axes),),
+                   out_specs=P(axes), check_rep=False)
+    return fn(pixel_coords)
+
+
+def generate_examples_shard_serial(scene, cam, cam_kind, key, pixel_coords,
+                                   n_shards: int, hemi_size: int = 32,
+                                   gt_spp: int = 16,
+                                   use_pallas: bool = False,
+                                   accel: str = "bvh"):
+    """Single-device oracle for generate_examples_sharded: loops the
+    shards serially with the identical per-shard key folding."""
+    Pn = pixel_coords.shape[0]
+    per = Pn // n_shards
+    outs = []
+    for s in range(n_shards):
+        k = jax.random.fold_in(key, s)
+        outs.append(generate_examples(
+            scene, cam, cam_kind, k, pixel_coords[s * per:(s + 1) * per],
+            hemi_size=hemi_size, gt_spp=gt_spp, use_pallas=use_pallas,
+            accel=accel))
+    return {k: jnp.concatenate([o[k] for o in outs]) for k in outs[0]}

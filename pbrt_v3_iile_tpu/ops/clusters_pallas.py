@@ -52,8 +52,10 @@ from . import clusters as cluster_lib
 C = 128          # triangles per cluster (one lane tile per quantity)
 NF = 16          # ray/triangle feature rows (10 used, padded to 16)
 NQ = 5           # quantities per triangle: w0 w1 w2 num den
-G_DEFAULT = 256  # rays per group
-MAXC_DEFAULT = 64
+NB = 4           # clusters tested per loop iteration (amortizes the
+                 # DMA-latency + loop-overhead floor over 4x the work)
+G_DEFAULT = 128  # rays per group
+MAXC_DEFAULT = 128
 
 
 class ClusterPack(NamedTuple):
@@ -130,34 +132,44 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
     (ref: bvh.cpp:662 near-child-first traversal)."""
     r = rays_ref[0]                  # (G, NF)
     tmax = tmax_ref[0]               # (G, 1)
-    n = ncand_ref[0, 0, 0]
+    n = ncand_ref[0, 0, 0]           # candidates (kernel rounds up to NB)
+    nb = (n + NB - 1) // NB          # bundles
     Gr = r.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (Gr, C), 1)
     big_t = jnp.float32(3.0e38)
 
-    def dma(slot, i):
-        cid = cand_ref[0, 0, i]
-        return pltpu.make_async_copy(feat_hbm.at[cid], fbuf.at[slot],
-                                     sems.at[slot])
+    def dma(slot, j, i):
+        # cand ids are padded/clamped by the wrapper, so fetching the
+        # whole bundle unconditionally is safe; cnt=0 masks the compute
+        cid = cand_ref[0, 0, i * NB + j]
+        return pltpu.make_async_copy(feat_hbm.at[cid], fbuf.at[slot, j],
+                                     sems.at[slot, j])
 
-    @pl.when(n > 0)
+    def start_bundle(slot, i):
+        for j in range(NB):
+            dma(slot, j, i).start()
+
+    def wait_bundle(slot, i):
+        for j in range(NB):
+            dma(slot, j, i).wait()
+
+    @pl.when(nb > 0)
     def _():
-        dma(0, 0).start()
+        start_bundle(0, 0)
 
     def cond(st):
         i, done, best_t, best_prim = st
-        return (i < n) & jnp.logical_not(done)
+        return (i < nb) & jnp.logical_not(done)
 
     def step(st):
         i, done, best_t, best_prim = st
         slot = jax.lax.rem(i, 2)
 
-        @pl.when(i + 1 < n)
+        @pl.when(i + 1 < nb)
         def _():
-            dma(1 - slot, i + 1).start()
+            start_bundle(1 - slot, i + 1)
 
-        dma(slot, i).wait()
-        F = fbuf[slot]                                # (NF, NQ*C)
+        wait_bundle(slot, i)
 
         # Thin-K contraction as explicit VPU outer-product accumulation:
         # at K=16 the MXU pads the contraction to 128 (8x wasted passes,
@@ -165,42 +177,47 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
         # madds on (G, C) tiles beat it AND keep exact f32 precision
         # (no bf16 side-test cancellation — the ADVICE r2 precision
         # concern).
-        def contract(col0, rows, rcols):
-            acc = None
-            for f, rc in zip(rows, rcols):
-                term = r[:, rc:rc + 1] * F[f:f + 1, col0:col0 + C]
-                acc = term if acc is None else acc + term
-            return acc                                # (G, C)
+        for j in range(NB):
+            F = fbuf[slot, j]                         # (NF, NQ*C)
 
-        e6 = (0, 1, 2, 3, 4, 5)
-        w0 = contract(0 * C, e6, e6)
-        w1 = contract(1 * C, e6, e6)
-        w2 = contract(2 * C, e6, e6)
-        num = contract(3 * C, (6, 7, 8, 9), (6, 7, 8, 9))
-        den = contract(4 * C, (0, 1, 2), (0, 1, 2))
-        t = num / jnp.where(jnp.abs(den) > 1e-12, den,
-                            jnp.where(den >= 0, 1e-12, -1e-12))
-        s = w0 + w1 + w2
-        same = (((w0 >= 0) & (w1 >= 0) & (w2 >= 0))
-                | ((w0 <= 0) & (w1 <= 0) & (w2 <= 0)))
-        cnt = ccnt_ref[0, 0, i]
-        ok = (same & (jnp.abs(s) > 1e-12) & (jnp.abs(den) > 1e-12)
-              & (t > 1e-5) & (t < best_t) & (lane < cnt))
-        t_ok = jnp.where(ok, t, big_t)
-        tmin = jnp.min(t_ok, axis=1, keepdims=True)   # (G,1)
-        upd = tmin < best_t
-        win = (t_ok == tmin) & ok
-        lane_w = jnp.min(jnp.where(win, lane, jnp.int32(2 ** 30)),
-                         axis=1, keepdims=True)
-        prim_new = coff_ref[0, 0, i] + lane_w
-        best_t = jnp.where(upd, tmin, best_t)
-        best_prim = jnp.where(upd, prim_new, best_prim)
+            def contract(col0, rows, rcols):
+                acc = None
+                for f, rc in zip(rows, rcols):
+                    term = r[:, rc:rc + 1] * F[f:f + 1, col0:col0 + C]
+                    acc = term if acc is None else acc + term
+                return acc                            # (G, C)
 
-        # exact early break: candidate i+1 (and all later ones — the
-        # list is tnear-sorted) cannot beat best_t for any ray.  Dead
-        # rays (best_t = -big) always satisfy it; unhit live rays have
+            e6 = (0, 1, 2, 3, 4, 5)
+            w0 = contract(0 * C, e6, e6)
+            w1 = contract(1 * C, e6, e6)
+            w2 = contract(2 * C, e6, e6)
+            num = contract(3 * C, (6, 7, 8, 9), (6, 7, 8, 9))
+            den = contract(4 * C, (0, 1, 2), (0, 1, 2))
+            t = num / jnp.where(jnp.abs(den) > 1e-12, den,
+                                jnp.where(den >= 0, 1e-12, -1e-12))
+            s = w0 + w1 + w2
+            # sign-agreement via pairwise products (fewer VPU ops than
+            # the 6-compare form; all three pairs needed so a single
+            # zero side can't mask a disagreement between the others)
+            same = ((w0 * w1 >= 0) & (w1 * w2 >= 0) & (w0 * w2 >= 0))
+            cnt = ccnt_ref[0, 0, i * NB + j]
+            ok = (same & (jnp.abs(s) > 1e-12) & (jnp.abs(den) > 1e-12)
+                  & (t > 1e-5) & (t < best_t) & (lane < cnt))
+            t_ok = jnp.where(ok, t, big_t)
+            tmin = jnp.min(t_ok, axis=1, keepdims=True)   # (G,1)
+            upd = tmin < best_t
+            win = (t_ok == tmin) & ok
+            lane_w = jnp.min(jnp.where(win, lane, jnp.int32(2 ** 30)),
+                             axis=1, keepdims=True)
+            prim_new = coff_ref[0, 0, i * NB + j] + lane_w
+            best_t = jnp.where(upd, tmin, best_t)
+            best_prim = jnp.where(upd, prim_new, best_prim)
+
+        # exact early break: bundle i+1 (and all later ones — the list
+        # is tnear-sorted) cannot beat best_t for any ray.  Dead rays
+        # (best_t = -big) always satisfy it; unhit live rays have
         # best_t = tmax, which for shadow rays bounds the search.
-        nxt_tn = ctn_ref[0, 0, jnp.minimum(i + 1, maxc - 1)]
+        nxt_tn = ctn_ref[0, 0, jnp.minimum((i + 1) * NB, maxc - 1)]
         fin = best_t <= nxt_tn
         if any_hit:
             fin = fin | (best_prim >= 0)
@@ -213,12 +230,12 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
     i_fin, done_fin, best_t, best_prim = jax.lax.while_loop(cond, step,
                                                             init)
 
-    # drain: a break at iteration i-1 leaves the prefetched DMA for
+    # drain: a break at iteration i-1 leaves the prefetched bundle for
     # iteration i in flight — wait it so the semaphore state stays clean
     # across grid steps
-    @pl.when(done_fin & (i_fin < n))
+    @pl.when(done_fin & (i_fin < nb))
     def _():
-        dma(jax.lax.rem(i_fin, 2), i_fin).wait()
+        wait_bundle(jax.lax.rem(i_fin, 2), i_fin)
 
     hitm = best_prim >= 0
     t_out[0] = jnp.where(hitm, best_t, tmax)
@@ -260,8 +277,8 @@ def _run_kernel(feat, cand, coff, ccnt, ctn, ncand, rays, tmax, *,
         out_specs=[vmem((1, G, 1))] * 2,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, NF, NQ * C), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, NB, NF, NQ * C), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, NB)),
         ],
         interpret=interpret,
     )(cand, coff, ccnt, ctn, ncand, rays, tmax, feat)
@@ -291,7 +308,9 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
     Np = N + pad
     Gn = Np // G
     K = cp.aabb_min.shape[0]
-    MAXC = min(max_candidates, K)
+    # round to a whole number of kernel bundles
+    MAXC = min(max_candidates, ((K + NB - 1) // NB) * NB)
+    MAXC = ((MAXC + NB - 1) // NB) * NB
 
     wmin = jnp.min(cp.aabb_min, 0) if world_min is None else world_min
     wmax = jnp.max(cp.aabb_max, 0) if world_max is None else world_max
@@ -312,6 +331,14 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
     order = jnp.argsort(order_key, axis=1)[:, :MAXC].astype(jnp.int32)
     ctn = jnp.take_along_axis(order_key, order, axis=1)   # sorted tnear
     cand_valid = jnp.take_along_axis(mask, order, axis=1)
+    padc = MAXC - order.shape[1]
+    if padc > 0:  # K smaller than a whole number of bundles
+        order = jnp.concatenate(
+            [order, jnp.zeros((Gn, padc), jnp.int32)], axis=1)
+        ctn = jnp.concatenate(
+            [ctn, jnp.full((Gn, padc), big_t)], axis=1)
+        cand_valid = jnp.concatenate(
+            [cand_valid, jnp.zeros((Gn, padc), bool)], axis=1)
     cand = jnp.clip(order, 0, K - 1)
     coff = jnp.take(cp.tri_off, cand)
     ccnt = jnp.where(cand_valid, jnp.take(cp.tri_cnt, cand), 0)

@@ -149,3 +149,55 @@ def test_geometry_sharded_intersect_matches_replicated():
                                np.asarray(hr.t)[np.asarray(hr.valid)],
                                rtol=1e-5)
     assert np.array_equal(np.asarray(hs.prim), np.asarray(hr.prim))
+
+
+def test_sharded_dataset_generation_matches_serial():
+    """P4: mesh-sharded reference-mode generation equals the serial
+    shard loop bitwise (ref: iispt.cpp:479-505 MOD/MATCH sharding)."""
+    from pbrt_v3_iile_tpu.parallel import mesh as meshlib
+    from pbrt_v3_iile_tpu.scene import api as apilib
+    from pbrt_v3_iile_tpu.integrators import render as renderlib
+    from pbrt_v3_iile_tpu.ml import dataset as datasetlib
+    from pbrt_v3_iile_tpu.ops import camera as camlib
+
+    scene_src = """
+    LookAt 0 1 -3  0 1 0  0 1 0
+    Camera "perspective" "float fov" [60]
+    Film "image" "integer xresolution" [48] "integer yresolution" [48]
+    Integrator "path" "integer maxdepth" [3]
+    WorldBegin
+    AttributeBegin
+      Material "matte" "rgb Kd" [0 0 0]
+      AreaLightSource "area" "rgb L" [20 20 20]
+      Translate 0 2.4 0
+      Shape "sphere" "float radius" [0.3]
+    AttributeEnd
+    Material "matte" "rgb Kd" [0.6 0.6 0.6]
+    Shape "trianglemesh" "point P" [-3 0 -3 3 0 -3 3 0 3 -3 0 3]
+      "integer indices" [0 1 2 2 3 0]
+    Shape "trianglemesh" "point P" [-3 0 2  3 0 2  3 3 2  -3 3 2]
+      "integer indices" [0 2 1 0 3 2]
+    WorldEnd
+    """
+    sd = apilib.load_scene_string(scene_src)
+    scene, cam = renderlib.build(sd)
+    cam_kind = camlib.KIND.get(sd.camera.kind, 0)
+    mesh = meshlib.make_mesh(8)
+
+    coords = jnp.stack(
+        jnp.meshgrid(jnp.linspace(4, 44, 4).astype(jnp.int32),
+                     jnp.linspace(4, 44, 4).astype(jnp.int32)),
+        -1).reshape(-1, 2)  # 16 probes over 8 devices
+    key = jax.random.PRNGKey(5)
+
+    sharded = datasetlib.generate_examples_sharded(
+        scene, cam, cam_kind, key, coords, mesh=mesh, hemi_size=8,
+        gt_spp=2)
+    serial = datasetlib.generate_examples_shard_serial(
+        scene, cam, cam_kind, key, coords, n_shards=8, hemi_size=8,
+        gt_spp=2)
+    for k in ("p", "d", "n", "z", "valid"):
+        np.testing.assert_array_equal(np.asarray(sharded[k]),
+                                      np.asarray(serial[k]),
+                                      err_msg=f"map {k} differs")
+    assert np.asarray(sharded["valid"]).any()
