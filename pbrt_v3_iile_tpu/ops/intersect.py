@@ -115,8 +115,18 @@ def intersect_bvh(scene, o, d, t_max, any_hit: bool = False,
             pidc = jnp.maximum(pid, 0)
             tr = jnp.take(scene.tris_packed, pidc, axis=0)  # (N,12)
             if time is not None:
-                tr_e = jnp.take(scene.tris_end_packed, pidc, axis=0)
-                tr = tr + time[:, None] * (tr_e - tr)
+                # piecewise-linear over M rotation-correct sub-keyframes
+                # (ref: transform.h:412 AnimatedTransform::Interpolate;
+                # device.py evaluates the slerp at build time)
+                Ms = scene.tris_steps_packed.shape[0]
+                Tn = scene.tris_steps_packed.shape[1]
+                tf = time * (Ms - 1)
+                seg = jnp.clip(tf.astype(jnp.int32), 0, Ms - 2)
+                tl = tf - seg.astype(jnp.float32)
+                flat_steps = scene.tris_steps_packed.reshape(-1, 12)
+                tr0 = jnp.take(flat_steps, seg * Tn + pidc, axis=0)
+                tr1 = jnp.take(flat_steps, (seg + 1) * Tn + pidc, axis=0)
+                tr = tr0 + tl[:, None] * (tr1 - tr0)
             tv, tt, tu, tvv = _moller(o, d, tr[:, 0:3], tr[:, 3:6],
                                       tr[:, 6:9], t)
             upd = m & tv
@@ -321,12 +331,22 @@ def make_interaction(scene, o, d, hit: Hit, time=None) -> Interaction:
     ng_t = jnp.take(scene.tri_ng, tri_id, axis=0)
     ns_tri = jnp.take(scene.tri_ns, tri_id, axis=0)       # (N,3,3)
     if time is not None:
-        # motion blur: lerp normals between keyframes (matches the
-        # lerped vertex positions; renormalized below / by face_forward)
-        ng_e = jnp.take(scene.tri_ng_end, tri_id, axis=0)
-        ns_e = jnp.take(scene.tri_ns_end, tri_id, axis=0)
-        ng_t = vm.normalize(ng_t + time[:, None] * (ng_e - ng_t))
-        ns_tri = ns_tri + time[:, None, None] * (ns_e - ns_tri)
+        # motion blur: piecewise-lerp normals over the sub-keyframes
+        # (matches the interpolated vertex positions; renormalized
+        # below / by face_forward)
+        Ms = scene.tri_ng_steps.shape[0]
+        Tn = scene.tri_ng_steps.shape[1]
+        tf = time * (Ms - 1)
+        seg = jnp.clip(tf.astype(jnp.int32), 0, Ms - 2)
+        tl = tf - seg.astype(jnp.float32)
+        ngf = scene.tri_ng_steps.reshape(-1, 3)
+        nsf = scene.tri_ns_steps.reshape(-1, 3, 3)
+        ng_0 = jnp.take(ngf, seg * Tn + tri_id, axis=0)
+        ng_e = jnp.take(ngf, (seg + 1) * Tn + tri_id, axis=0)
+        ns_0 = jnp.take(nsf, seg * Tn + tri_id, axis=0)
+        ns_e = jnp.take(nsf, (seg + 1) * Tn + tri_id, axis=0)
+        ng_t = vm.normalize(ng_0 + tl[:, None] * (ng_e - ng_0))
+        ns_tri = ns_0 + tl[:, None, None] * (ns_e - ns_0)
     b0 = 1.0 - hit.b1 - hit.b2
     ns_t = (
         b0[:, None] * ns_tri[:, 0]

@@ -32,13 +32,15 @@ class DeviceScene(NamedTuple):
     tri_mat: jnp.ndarray     # (T,) i32
     tri_light: jnp.ndarray   # (T,) i32, -1 = not emissive
     # --- object motion blur (TransformedPrimitive/AnimatedTransform,
-    # ref: core/primitive.h + transform.h:412): end-of-shutter keyframe,
-    # lerped per ray time inside the triangle test.  Static scenes carry
-    # (1,...) placeholders; the BVH is built over the union of both
-    # keyframes' bounds so traversal stays conservative for any time. ---
-    tris_end_packed: jnp.ndarray  # (T,12) or (1,12) f32: p0,e1,e2 @ t1
-    tri_ng_end: jnp.ndarray       # (T,3) or (1,3)
-    tri_ns_end: jnp.ndarray       # (T,3,3) or (1,3,3)
+    # ref: core/primitive.h + transform.h:412 Decompose/Interpolate):
+    # M rotation-correct sub-keyframes (T/S lerped, R slerped at build
+    # time, <=15 deg per segment), piecewise-lerped per ray time inside
+    # the triangle test.  Static scenes carry (1,1,...) placeholders;
+    # the BVH is built over the union of ALL sub-keyframes' bounds so
+    # traversal stays conservative for any time. ---
+    tris_steps_packed: jnp.ndarray  # (M,T,12) or (1,1,12) f32: p0,e1,e2
+    tri_ng_steps: jnp.ndarray       # (M,T,3) or (1,1,3)
+    tri_ns_steps: jnp.ndarray       # (M,T,3,3) or (1,1,3,3)
     # --- BVH (LinearBVHNode layout, ref bvh.cpp:95) ---
     node_min: jnp.ndarray    # (M,3)
     node_max: jnp.ndarray    # (M,3)
@@ -194,6 +196,45 @@ def _pad(a, n, fill=0.0):
     return np.concatenate([a, np.full(pad_shape, fill, dtype=a.dtype)], axis=0)
 
 
+def _anim_eval(anim, t):
+    """Evaluate a decomposed AnimatedTransform at time t in [0,1]
+    (ref: transform.cpp AnimatedTransform::Interpolate — translation and
+    scale lerp, rotation slerps).  Returns (verts (cnt,3,3),
+    shading normals (cnt,3,3))."""
+    from ..utils import transforms as xf
+    q = xf.quat_slerp(float(t), anim["q0"], anim["q1"])
+    R = xf.quat_to_matrix(q)
+    S = anim["S0"] + t * (anim["S1"] - anim["S0"])
+    T = anim["T0"] + t * (anim["T1"] - anim["T0"])
+    M3 = (R @ S).astype(np.float64)
+    p_obj = np.asarray(anim["p_obj"], np.float64)
+    pw = p_obj @ M3.T + T[None, None, :]
+    n_obj = anim.get("n_obj")
+    if n_obj is None:
+        n_obj = _smooth_from_geo(anim["p_obj"])
+    inv_t = np.linalg.inv(M3).T
+    nw = np.asarray(n_obj, np.float64) @ inv_t.T
+    ln = np.linalg.norm(nw, axis=-1, keepdims=True)
+    nw = nw / np.maximum(ln, 1e-20)
+    return pw.astype(np.float32), nw.astype(np.float32)
+
+
+def _motion_steps(sd):
+    """Scene-global sub-keyframe count: enough steps that each
+    piecewise-linear segment spans <= 15 degrees of the largest
+    rotation (the transform.h:412 slerp, discretized for the
+    fixed-shape wavefront; error bound ~0.9% of radius at 15 deg)."""
+    from ..utils import transforms as xf
+    max_angle = 0.0
+    for b in sd.tri_blocks:
+        anim = b.get("anim")
+        if anim is not None:
+            c = abs(float(np.dot(anim["q0"], anim["q1"])))
+            max_angle = max(max_angle, 2.0 * np.arccos(min(c, 1.0)))
+    steps = int(np.ceil(np.degrees(max_angle) / 15.0)) + 1
+    return int(np.clip(steps, 2, 16))
+
+
 def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True,
                        with_clusters: bool = None) -> DeviceScene:
     # ---- concatenate triangle blocks ----
@@ -216,13 +257,31 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True,
         m_out = np.concatenate([b.get("med_out", np.full(b["p"].shape[0], -1,
                                                          np.int32))
                                 for b in sd.tri_blocks])
-        p_end = np.concatenate(
-            [b["p_end"] if b.get("p_end") is not None else b["p"]
-             for b in sd.tri_blocks], axis=0)
-        ns_end = np.concatenate(
-            [b["n_end"] if b.get("n_end") is not None
-             else (b["n"] if b["n"] is not None else _smooth_from_geo(b["p"]))
-             for b in sd.tri_blocks], axis=0)
+        n_steps = _motion_steps(sd) if sd.has_motion else 2
+        p_step_rows, ns_step_rows = [], []
+        for b in sd.tri_blocks:
+            anim = b.get("anim")
+            bn = (b["n"] if b["n"] is not None
+                  else _smooth_from_geo(b["p"]))
+            if anim is not None:
+                evs = [_anim_eval(anim, sidx / (n_steps - 1))
+                       for sidx in range(n_steps)]
+                p_step_rows.append(np.stack([e[0] for e in evs]))
+                ns_step_rows.append(np.stack([e[1] for e in evs]))
+            elif b.get("p_end") is not None:
+                # legacy two-keyframe block (no decomposition): linear
+                be = b["p_end"]
+                bne = b["n_end"] if b.get("n_end") is not None else bn
+                ts = np.linspace(0.0, 1.0, n_steps)[:, None, None, None]
+                p_step_rows.append(b["p"][None] * (1 - ts) + be[None] * ts)
+                ns_step_rows.append(bn[None] * (1 - ts) + bne[None] * ts)
+            else:
+                p_step_rows.append(np.repeat(b["p"][None], n_steps, 0))
+                ns_step_rows.append(np.repeat(bn[None], n_steps, 0))
+        p_steps = np.concatenate(p_step_rows, axis=1)   # (M,T,3,3)
+        ns_steps = np.concatenate(ns_step_rows, axis=1)
+        p_end = p_steps[-1]
+        ns_end = ns_steps[-1]
     else:
         p = np.zeros((1, 3, 3), np.float32)
         ns = np.zeros((1, 3, 3), np.float32)
@@ -234,14 +293,18 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True,
         m_out = np.full(1, -1, np.int32)
         p_end = p
         ns_end = ns
+        n_steps = 2
+        p_steps = np.repeat(p[None], 2, 0)
+        ns_steps = np.repeat(ns[None], 2, 0)
 
     has_motion = bool(getattr(sd, "has_motion", False))
     if has_motion:
         # BVH bounds must cover the whole shutter: build over the union
-        # of both keyframes (the numpy builder only consumes per-prim
-        # bounds/centroids so the (T,6,3) stack is valid input)
-        flat = bvhlib.build_bvh(np.concatenate([p, p_end], axis=1),
-                                use_native=False)
+        # of ALL sub-keyframes (a rotating shape sweeps outside the
+        # endpoint-lerp hull; the numpy builder only consumes per-prim
+        # bounds/centroids so the (T, 3*M, 3) stack is valid input)
+        allpts = np.concatenate(list(p_steps), axis=1)
+        flat = bvhlib.build_bvh(allpts, use_native=False)
     else:
         flat = bvhlib.build_bvh(p, use_native=use_native_bvh)
     order = flat.prim_order
@@ -249,6 +312,8 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True,
     m_in, m_out = m_in[order], m_out[order]
     face = face[order]
     p_end, ns_end = p_end[order], ns_end[order]
+    p_steps = p_steps[:, order]
+    ns_steps = ns_steps[:, order]
 
     def _geo_normal(pp):
         e1_ = pp[:, 1] - pp[:, 0]
@@ -260,7 +325,6 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True,
     e1 = p[:, 1] - p[:, 0]
     e2 = p[:, 2] - p[:, 0]
     ng = _geo_normal(p)
-    ng_end = _geo_normal(p_end) if has_motion else ng[:1]
 
     # ---- spheres (padded to >=1) ----
     S = max(1, len(sd.spheres))
@@ -643,13 +707,17 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True,
     tris_t = np.zeros((12, Tp), np.float32)
     tris_t[:, :T_tris] = tris_packed.T
     if has_motion:
-        tris_end_packed = np.zeros((T_tris, 12), np.float32)
-        tris_end_packed[:, 0:3] = p_end[:, 0]
-        tris_end_packed[:, 3:6] = p_end[:, 1] - p_end[:, 0]
-        tris_end_packed[:, 6:9] = p_end[:, 2] - p_end[:, 0]
+        Ms = p_steps.shape[0]
+        tris_steps_packed = np.zeros((Ms, T_tris, 12), np.float32)
+        tris_steps_packed[:, :, 0:3] = p_steps[:, :, 0]
+        tris_steps_packed[:, :, 3:6] = p_steps[:, :, 1] - p_steps[:, :, 0]
+        tris_steps_packed[:, :, 6:9] = p_steps[:, :, 2] - p_steps[:, :, 0]
+        ng_steps = np.stack([_geo_normal(p_steps[si])
+                             for si in range(Ms)])
     else:
-        tris_end_packed = np.zeros((1, 12), np.float32)
-        ns_end = ns[:1]
+        tris_steps_packed = np.zeros((1, 1, 12), np.float32)
+        ns_steps = ns[None, :1]
+        ng_steps = ng[None, :1]
 
     # ray-cone texture filter inputs (scene/textures.py module doc): the
     # per-triangle UV-area density converts a world-space cone radius to a
@@ -673,8 +741,8 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True,
         tri_p0=f32(p[:, 0]), tri_e1=f32(e1), tri_e2=f32(e2),
         tri_ng=f32(ng), tri_ns=f32(ns), tri_uv=f32(uv),
         tri_mat=i32(mat), tri_light=i32(lig),
-        tris_end_packed=f32(tris_end_packed), tri_ng_end=f32(ng_end),
-        tri_ns_end=f32(ns_end),
+        tris_steps_packed=f32(tris_steps_packed),
+        tri_ng_steps=f32(ng_steps), tri_ns_steps=f32(ns_steps),
         node_min=f32(flat.node_min), node_max=f32(flat.node_max),
         node_right=i32(flat.node_right), node_count=i32(flat.node_count),
         node_axis=i32(flat.node_axis),

@@ -187,3 +187,74 @@ def test_static_scene_has_no_motion_flag():
     WorldEnd
     """)
     assert not sd.has_motion
+
+
+def test_rotating_blade_sweeps_not_shrinks():
+    """A triangle blade rotating 90 deg about +y must be intersectable
+    at its slerped mid-shutter position (45 deg) — the old two-keyframe
+    vertex lerp collapses it toward the chord (ref: transform.h:412
+    AnimatedTransform::Decompose/Interpolate)."""
+    from pbrt_v3_iile_tpu.integrators import render as renderlib
+    from pbrt_v3_iile_tpu.ops import intersect as isect
+
+    scene_text = """
+    TransformTimes 0 1
+    LookAt 0 0 -5  0 0 0  0 1 0
+    Camera "perspective" "float fov" [45]
+      "float shutteropen" [0] "float shutterclose" [1]
+    Film "image" "integer xresolution" [8] "integer yresolution" [8]
+    WorldBegin
+    LightSource "point" "rgb I" [10 10 10]
+    Material "matte" "color Kd" [0.5 0.5 0.5]
+    AttributeBegin
+      ActiveTransform EndTime
+      Rotate 90 0 1 0
+      ActiveTransform All
+      # long thin blade along +x: from r=0.2 to r=2.0
+      Shape "trianglemesh" "point P" [0.2 -0.05 0  2.0 -0.05 0  2.0 0.05 0  0.2 0.05 0]
+        "integer indices" [0 1 2 2 3 0]
+    AttributeEnd
+    WorldEnd
+    """
+    sd = apilib.load_scene_string(scene_text)
+    assert sd.has_motion
+    scene, cam = renderlib.build(sd)
+    Ms = scene.tris_steps_packed.shape[0]
+    assert Ms >= 7, f"90-degree rotation needs >=7 sub-keyframes, got {Ms}"
+
+    # at t=0.5 the blade lies along the -45-degree direction (+x
+    # rotates toward -z under a +90 rotation about +y); shoot a ray
+    # straight at a point on it
+    r = 1.6
+    target = np.array([r / np.sqrt(2), 0.0, -r / np.sqrt(2)])
+    o = jnp.asarray([[target[0], 0.0, -5.0]], jnp.float32)
+    d = jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32)
+    tm = jnp.full((1,), 1e30)
+    hit_mid = isect.intersect(scene, o, d, tm,
+                              time=jnp.asarray([0.5], jnp.float32))
+    assert bool(hit_mid.valid[0]), \
+        "ray at the slerped mid-shutter position must hit the blade"
+    # hit z should be near the rotated blade plane z = target[2]
+    z_hit = float(o[0, 2] + hit_mid.t[0] * d[0, 2])
+    np.testing.assert_allclose(z_hit, target[2], atol=0.05)
+
+    # at t=0 the blade lies in the z=0 plane: the same ray hits it at
+    # z ~ 0, NOT at the rotated plane
+    h0 = isect.intersect(scene, o, d, tm,
+                         time=jnp.asarray([0.0], jnp.float32))
+    assert bool(h0.valid[0])
+    np.testing.assert_allclose(float(o[0, 2] + h0.t[0] * d[0, 2]), 0.0,
+                               atol=0.05)
+    # at t=1 the blade lies along -z at x ~ 0: the ray (x=1.13) misses
+    h1 = isect.intersect(scene, o, d, tm,
+                         time=jnp.asarray([1.0], jnp.float32))
+    assert not bool(h1.valid[0]), "ray must miss at t=1"
+
+    # chord shrink check: the vertex-lerped midpoint would put the blade
+    # tip at radius 2*cos(45deg/..)~1.41*sqrt(2)/2... assert the tip
+    # survives at full radius: aim near the tip (r=1.95) at 45 deg
+    rt = 1.95
+    o2 = jnp.asarray([[rt / np.sqrt(2), 0.0, -5.0]], jnp.float32)
+    h2 = isect.intersect(scene, o2, d, tm,
+                         time=jnp.asarray([0.5], jnp.float32))
+    assert bool(h2.valid[0]), "blade tip must stay at full radius mid-sweep"
