@@ -164,7 +164,8 @@ def make_wave_prep(sd: apilib.SceneDesc, chunk_rows: int = 0):
         # (ref: sampler.h:106; VERDICT r1 missing #2)
         ctx = None
         if sd.sampler.kind in smplr.LD_KINDS:
-            ctx = smplr.make_sample_ctx(key, flat_pix, pass_idx)
+            ctx = smplr.make_sample_ctx(key, flat_pix, pass_idx,
+                                        kind=sd.sampler.kind)
         return o, d, w, jitter, k, ctx, ray_time
 
     return prep, is_realistic

@@ -77,8 +77,17 @@ def pixel_samples(kind: str, key, pixel_idx, pass_idx, spp: int):
             jnp.float32) / 4294967296.0
         return jnp.stack([jnp.mod(hx + rot, 1.0),
                           jnp.mod(hy + rot2, 1.0)], axis=-1)
-    if kind in ("sobol", "lowdiscrepancy", "02sequence", "zerotwosequence",
-                "maxmindist"):
+    if kind == "maxmindist":
+        # searched max-min-distance (0,2) pattern (ref: maxmin.cpp
+        # MaxMinDistSampler; matrices computed in ops/lds.py, not
+        # copied) — no longer an alias of sobol02
+        i = jnp.full((n,), pass_idx, jnp.uint32)
+        sx = lds.hash_u32(pixel_idx)
+        sy = lds.hash_u32(pixel_idx ^ jnp.uint32(0x85EBCA77))
+        x, y = lds.maxmin02(i, max(int(spp), 2), sx, sy)
+        return jnp.stack([x, y], axis=-1)
+    if kind in ("sobol", "lowdiscrepancy", "02sequence",
+                "zerotwosequence"):
         i = jnp.full((n,), pass_idx, jnp.uint32)
         sx = lds.hash_u32(pixel_idx)
         sy = lds.hash_u32(pixel_idx ^ jnp.uint32(0x85EBCA77))
@@ -117,15 +126,27 @@ class SampleCtx(NamedTuple):
     salt: "jnp.ndarray"
 
 
-def make_sample_ctx(key, pixel_idx, pass_idx) -> SampleCtx:
+class HaltonCtx(SampleCtx):
+    """SampleCtx whose dimensions come from high-dimension permuted
+    radical inverses (ref: lowdiscrepancy.h ComputeRadicalInverse
+    Permutations / ScrambledRadicalInverse with 1000 prime bases; here
+    lds.N_HALTON_DIMS generated bases) instead of padded sobol02 —
+    the halton.cpp GlobalSampler semantics past dim 16.  The subclass
+    type lives in the pytree treedef, so jitted consumers can branch on
+    isinstance at trace time."""
+
+
+def make_sample_ctx(key, pixel_idx, pass_idx,
+                    kind: str = "sobol") -> SampleCtx:
     from . import lds
 
     salt = jax.random.randint(jax.random.fold_in(key, 0x5D5),
                               (), 0, jnp.iinfo(jnp.int32).max,
                               dtype=jnp.int32).astype(jnp.uint32)
-    return SampleCtx(pixel=pixel_idx.astype(jnp.uint32),
-                     index=jnp.asarray(pass_idx, jnp.uint32),
-                     salt=salt)
+    cls = HaltonCtx if kind == "halton" else SampleCtx
+    return cls(pixel=pixel_idx.astype(jnp.uint32),
+               index=jnp.asarray(pass_idx, jnp.uint32),
+               salt=salt)
 
 
 def _dim_seed(ctx: SampleCtx, bounce, purpose, k):
@@ -154,11 +175,26 @@ def ctx_uniform(ctx, key, bounce, purpose, shape):
     k = 1 if len(shape) == 1 else shape[1]
     i = jnp.broadcast_to(ctx.index, (N,))
     cols = []
-    for pair in range((k + 1) // 2):
-        sx = _dim_seed(ctx, bounce, purpose, 2 * pair)
-        sy = _dim_seed(ctx, bounce, purpose, 2 * pair + 1)
-        x, y = lds.sobol02_owen(i, sx, sy)
-        cols.extend([x, y])
+    if isinstance(ctx, HaltonCtx):
+        # permuted radical inverse at the global dimension index
+        # (2 + per-bounce layout), decorrelated per pixel with a
+        # Cranley-Patterson rotation (halton.cpp per-pixel role)
+        for kk in range(k):
+            code = (jnp.uint32(bounce) * jnp.uint32(64)
+                    + jnp.uint32(purpose) * jnp.uint32(4)
+                    + jnp.uint32(kk))
+            dim = jnp.uint32(2) + code
+            x = lds.scrambled_radical_inverse_dyn(dim, i)
+            rot = lds.hash_u32(
+                ctx.pixel ^ (code * jnp.uint32(0x9E3779B9)) ^ ctx.salt
+            ).astype(jnp.float32) / 4294967296.0
+            cols.append(jnp.mod(x + rot, 1.0))
+    else:
+        for pair in range((k + 1) // 2):
+            sx = _dim_seed(ctx, bounce, purpose, 2 * pair)
+            sy = _dim_seed(ctx, bounce, purpose, 2 * pair + 1)
+            x, y = lds.sobol02_owen(i, sx, sy)
+            cols.extend([x, y])
     if len(shape) == 1:
         return cols[0]
     return jnp.stack(cols[:k], axis=-1)

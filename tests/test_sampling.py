@@ -64,3 +64,49 @@ def test_rng_dim_tags_unique():
     from pbrt_v3_iile_tpu.ops import samplers as smplr
     tags = {k: v for k, v in vars(smplr).items() if k.startswith("DIM_")}
     assert len(set(tags.values())) == len(tags), tags
+
+
+def test_scrambled_radical_inverse_high_dims():
+    """Permuted radical inverses past dim 16 (ref: lowdiscrepancy.h
+    ComputeRadicalInversePermutations): uniform in [0,1), stratified in
+    the base, and the dynamic-dim version matches the static one."""
+    from pbrt_v3_iile_tpu.ops import lds
+
+    i = jnp.arange(1024, dtype=jnp.uint32)
+    for dim in (17, 40, 100):
+        v = np.asarray(lds.scrambled_radical_inverse(dim, i))
+        assert (v >= 0).all() and (v < 1).all()
+        assert abs(v.mean() - 0.5) < 0.05
+        base = lds.PRIMES_FULL[dim]
+        # the first min(n, base) samples land in distinct 1/base strata
+        nb = min(1024, base)
+        strata = np.floor(v[:nb] * base).astype(int)
+        assert len(set(strata.tolist())) == nb
+        vd = np.asarray(lds.scrambled_radical_inverse_dyn(
+            jnp.uint32(dim), i))
+        np.testing.assert_allclose(v, vd, atol=2e-5)
+
+
+def test_maxmin_beats_sobol_min_distance():
+    """The searched MaxMinDist matrices must beat plain sobol02's
+    toroidal min distance (ref: maxmin.cpp CMaxMinDist role) for the
+    pattern sizes the search covers."""
+    from pbrt_v3_iile_tpu.ops import lds
+
+    def min_d2(xs, ys):
+        dx = np.abs(xs[:, None] - xs[None, :])
+        dy = np.abs(ys[:, None] - ys[None, :])
+        dx = np.minimum(dx, 1 - dx)
+        dy = np.minimum(dy, 1 - dy)
+        d2 = dx * dx + dy * dy
+        np.fill_diagonal(d2, 9.0)
+        return d2.min()
+
+    for m in (4, 6):
+        n = 1 << m
+        i = jnp.arange(n, dtype=jnp.uint32)
+        mx, my = lds.maxmin02(i, n)
+        sx, sy = lds.sobol02(i)
+        dm = min_d2(np.asarray(mx), np.asarray(my))
+        ds = min_d2(np.asarray(sx), np.asarray(sy))
+        assert dm > ds * 1.2, (m, dm, ds)
