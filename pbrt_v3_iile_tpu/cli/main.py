@@ -61,6 +61,10 @@ def main(argv=None):
                     help="quarter resolution, 1/4 samples")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--stats", action="store_true")
+    ap.add_argument("--verbose", action="store_true",
+                    help="verbose logging (glog FLAGS_v role)")
+    ap.add_argument("--quiet", action="store_true",
+                    help="errors only (ref --quiet)")
     ap.add_argument("--filmCheckpoint", default=None,
                     help="film checkpoint file for resumable renders")
     ap.add_argument("--checkpointEvery", type=int, default=16)
@@ -95,6 +99,11 @@ def main(argv=None):
         multi = distributed.maybe_initialize()
         print(f"multihost: {distributed.process_info()}"
               if multi else "multihost: single process", flush=True)
+    from ..utils import log as loglib
+    if args.verbose:
+        loglib.set_verbosity(loglib.VERBOSE)
+    elif args.quiet:
+        loglib.set_verbosity(loglib.ERROR)
     if args.stats:
         # per-stage wall-time + counter collection (the stats.h role;
         # forces device sync per stage, so off by default)

@@ -144,7 +144,7 @@ class _ShadowBatch:
 
 def _subpath(scene, o0, d0, beta0, pdf_dir0, key, n_verts, use_pallas,
              stream, root_delta, collect_env=False, inf_sel_pdf=None,
-             root=None):
+             root=None, u_vert=None, sel_esc=None):
     """Random-walk a subpath of up to n_verts surface vertices with one
     lax.scan (ref: bdpt.cpp RandomWalk).  Returns (verts list, L_escape);
     verts[i] is the i-th SURFACE vertex as a dict of (N, ...) arrays
@@ -166,6 +166,10 @@ def _subpath(scene, o0, d0, beta0, pdf_dir0, key, n_verts, use_pallas,
 
         if collect_env:
             esc = alive & (~hit.valid)
+            if sel_esc is not None:
+                # single-strategy mode: the escape at segment b is the
+                # (s=0, t=b+2) strategy (mlt.cpp depth-stratified eval)
+                esc = esc & sel_esc[0] & (sel_esc[1] == b + 2)
             env = lightlib.environment_le(scene, d)
             env_pdf = jnp.where(
                 scene.has_env_map > 0,
@@ -186,13 +190,19 @@ def _subpath(scene, o0, d0, beta0, pdf_dir0, key, n_verts, use_pallas,
                                    _convert(pdf_dir, prev_p, it.p, ns),
                                    0.0))
 
-        # continuation sample
-        k_lobe = smplr.wave_key(key, stream, b, smplr.DIM_BSDF_LOBE)
-        k_dir = smplr.wave_key(key, stream, b, smplr.DIM_BSDF_DIR)
+        # continuation sample (u_vert: explicit primary samples for
+        # Metropolis determinism — integrators/mlt.py bdpt mode)
         wo_l = vm.to_local(it.wo, t_f, b_f, ns)
-        bs = bsdflib.sample(params, wo_l,
-                            smplr.uniform(k_lobe, (N,)),
-                            smplr.uniform(k_dir, (N, 2)))
+        if u_vert is not None:
+            uv = jnp.take(u_vert, b, axis=1)      # (N, 3)
+            u_lobe = uv[:, 0]
+            u_dir = uv[:, 1:3]
+        else:
+            k_lobe = smplr.wave_key(key, stream, b, smplr.DIM_BSDF_LOBE)
+            k_dir = smplr.wave_key(key, stream, b, smplr.DIM_BSDF_DIR)
+            u_lobe = smplr.uniform(k_lobe, (N,))
+            u_dir = smplr.uniform(k_dir, (N, 2))
+        bs = bsdflib.sample(params, wo_l, u_lobe, u_dir)
         v["delta"] = bs.is_specular
         wi_w = vm.to_world(bs.wi, t_f, b_f, ns)
         # reverse density onto the previous vertex (area measure there)
@@ -277,7 +287,7 @@ def _mis_weight(cam, lit, s, t, rev_over, delta_over, lit0_delta_pos,
 
 
 def trace_bdpt(scene, o0, d0, key, max_depth: int, use_pallas: bool = False,
-               cam=None, film_hw=None):
+               cam=None, film_hw=None, u_ext=None, sel_st=None):
     """BDPT estimate for N camera rays; returns (L (N,3), aux).
 
     cam + film_hw (static (H, W)) enable the t=1 light-tracing
@@ -304,22 +314,38 @@ def trace_bdpt(scene, o0, d0, key, max_depth: int, use_pallas: bool = False,
     cam_root["p"] = o0
     pdf_dir_cam0 = (camlib.pdf_we_dir(cam, d0) if with_t1
                     else jnp.ones(N))
+    def _sel(s_, t_):
+        if sel_st is None:
+            return jnp.ones(N, bool)
+        return (sel_st[0] == s_) & (sel_st[1] == t_)
+
+    # the escape (env) radiance is the s=0 term of its path length; when
+    # a single strategy is selected it still flows through L below, so
+    # selection masks it by construction only via the t-loop terms — the
+    # env escape term corresponds to s=0 at EVERY t, masked separately
     cam_surf, L = _subpath(
         scene, o0, d0, jnp.ones((N, 3), jnp.float32), pdf_dir_cam0, key, T,
         use_pallas, stream=11, root_delta=jnp.zeros(N, bool),
-        collect_env=True, inf_sel_pdf=inf_sel_pdf)
+        collect_env=True, inf_sel_pdf=inf_sel_pdf,
+        u_vert=None if u_ext is None else u_ext["cam"],
+        sel_esc=None if sel_st is None else (sel_st[0] == 0, sel_st[1]))
     cam_vs = [cam_root] + cam_surf  # cam_vs[i] = vertex i (0 = camera)
 
     # ---- light subpath (root sampled from finite lights) ----
     fin_pdf, fin_cdf = lightlib.finite_light_distribution(scene)
-    k_sel = smplr.wave_key(key, 12, 0, smplr.DIM_LIGHT_SELECT)
-    k_le = smplr.wave_key(key, 12, 0, smplr.DIM_LIGHT_SAMPLE)
-    u_sel = smplr.uniform(k_sel, (N,))
+    if u_ext is not None:
+        u_sel = u_ext["root"][:, 0]
+        u_le = u_ext["root"][:, 1:7]
+    else:
+        k_sel = smplr.wave_key(key, 12, 0, smplr.DIM_LIGHT_SELECT)
+        k_le = smplr.wave_key(key, 12, 0, smplr.DIM_LIGHT_SAMPLE)
+        u_sel = smplr.uniform(k_sel, (N,))
+        u_le = smplr.uniform(k_le, (N, 6))
     lid = jnp.clip(jnp.searchsorted(fin_cdf, u_sel), 0,
                    jnp.maximum(scene.n_lights - 1, 0)).astype(jnp.int32)
     sel_fin = jnp.take(fin_pdf, lid)
     sel_full = jnp.take(scene.light_pdf, lid)
-    em = lightlib.sample_le(scene, lid, smplr.uniform(k_le, (N, 6)))
+    em = lightlib.sample_le(scene, lid, u_le)
     any_finite = jnp.any(fin_pdf > 0.0)
     em_ok = em.valid & (sel_fin > 0.0) & any_finite
 
@@ -342,7 +368,8 @@ def trace_bdpt(scene, o0, d0, key, max_depth: int, use_pallas: bool = False,
     o1 = vm.offset_ray_origin(em.o, em.n_l, em.d)
     lit_surf, _ = _subpath(scene, o1, em.d, beta1, em.pdf_dir, key, S,
                            use_pallas, stream=13, root_delta=em.delta_dir,
-                           root=lit_root)
+                           root=lit_root,
+                           u_vert=None if u_ext is None else u_ext["lit"])
     # invalidate light vertices whose emission failed
     for v in lit_surf:
         v["valid"] = v["valid"] & em_ok
@@ -367,9 +394,13 @@ def trace_bdpt(scene, o0, d0, key, max_depth: int, use_pallas: bool = False,
         s_max = max_depth + 2 - t  # largest s with s + t - 2 <= maxDepth
 
         # ---------- phase 1: s = 1 geometry ----------
-        k_s1 = jax.random.fold_in(kx, t)
-        u_sel1 = smplr.uniform(jax.random.fold_in(k_s1, 0), (N,))
-        u_l1 = smplr.uniform(jax.random.fold_in(k_s1, 1), (N, 3))
+        if u_ext is not None:
+            u_sel1 = u_ext["nee"][:, t - 2, 0]
+            u_l1 = u_ext["nee"][:, t - 2, 1:4]
+        else:
+            k_s1 = jax.random.fold_in(kx, t)
+            u_sel1 = smplr.uniform(jax.random.fold_in(k_s1, 0), (N,))
+            u_l1 = smplr.uniform(jax.random.fold_in(k_s1, 1), (N, 3))
         lid1, sel1 = lightlib.choose_light(scene, u_sel1)
         ls = lightlib.sample_li(scene, lid1, pt["p"], u_l1)
         can1 = pt["valid"] & bsdflib.has_nonspecular(pt["params"]) & \
@@ -426,7 +457,8 @@ def trace_bdpt(scene, o0, d0, key, max_depth: int, use_pallas: bool = False,
         delta_over = {("c", t - 1): jnp.zeros(N, bool)}
         w0 = _mis_weight(cam_vs, lit, 0, t, rev_over, delta_over,
                          lit0_delta_pos, with_t1=with_t1)
-        L = L + jnp.where(emissive[:, None], C0 * w0[:, None], 0.0)
+        L = L + jnp.where((emissive & _sel(0, t))[:, None],
+                          C0 * w0[:, None], 0.0)
 
         # ---------- phase 2: s = 1 ----------
         if not do_s1:
@@ -466,7 +498,8 @@ def trace_bdpt(scene, o0, d0, key, max_depth: int, use_pallas: bool = False,
         w1 = _mis_weight(cam_vs, lit1, 1, t, rev_over, delta_over,
                          ls.is_delta, with_t1=with_t1)
         w = jnp.where(is_inf1, w_env, w1)
-        L = L + jnp.where(vis1[:, None], C1 * w[:, None], 0.0)
+        L = L + jnp.where((vis1 & _sel(1, t))[:, None],
+                          C1 * w[:, None], 0.0)
 
         # ---------- phase 2: s >= 2 ----------
         for m in s_meta:
@@ -500,7 +533,8 @@ def trace_bdpt(scene, o0, d0, key, max_depth: int, use_pallas: bool = False,
                           ("l", s - 1): jnp.zeros(N, bool)}
             w2 = _mis_weight(cam_vs, lit, s, t, rev_over, delta_over,
                              lit0_delta_pos, with_t1=with_t1)
-            L = L + jnp.where(vis2[:, None], cval * w2[:, None], 0.0)
+            L = L + jnp.where((vis2 & _sel(s, t))[:, None],
+                              cval * w2[:, None], 0.0)
 
     # ----- t = 1: light tracing, splatted to the film -----
     # (ref: bdpt.cpp ConnectBDPT t==1 — connect every light subpath

@@ -40,10 +40,69 @@ class MLTConfig(NamedTuple):
     p_large: float = 0.3          # large-step probability (ref mlt.cpp
                                   # "largestepprobability" default 0.3)
     sigma: float = 0.01           # small-step size (ref default 0.01)
+    bdpt: bool = True             # Metropolis over BDPT proposals with
+                                  # depth-stratified (s,t) selection
+                                  # (ref: mlt.cpp:36,144-153); False =
+                                  # the older unidirectional PSSMLT
 
 
 def _dims(cfg: MLTConfig) -> int:
+    if cfg.bdpt:
+        return _dims_bdpt(cfg.max_depth)
     return 4 + (cfg.max_depth + 1) * pathlib_.PRIM_DIMS_PER_BOUNCE
+
+
+def _dims_bdpt(max_depth: int) -> int:
+    T = max_depth + 1
+    S = max_depth
+    # film2 + depth + strategy + lens2 + cam T*3 + lit S*3 + root7 + nee T*4
+    return 6 + 3 * T + 3 * S + 7 + 4 * T
+
+
+def _eval_bdpt(scene, cam, cam_kind, has_lens, u, max_depth,
+               use_pallas=False):
+    """Deterministic single-strategy BDPT estimate of the path encoded
+    by u (ref: mlt.cpp MLT::L — depth from one dim, (s,t) from the
+    next, ConnectBDPT on explicit sampler streams, result scaled by the
+    per-depth strategy count).  t >= 2 strategies only (light-tracing
+    t=1 splats need the camera importance model; excluded like the
+    non-pinhole reference path), so nStrategies = depth + 1 with
+    s in [0, depth] and t = depth + 2 - s."""
+    from . import bdpt as bdptlib
+
+    C = u.shape[0]
+    T = max_depth + 1
+    S = max_depth
+    film_xy = u[:, 0:2]
+    depth = jnp.minimum((u[:, 2] * (max_depth + 1)).astype(jnp.int32),
+                        max_depth)
+    nstrat = depth + 1
+    s_sel = jnp.minimum((u[:, 3] * nstrat.astype(jnp.float32))
+                        .astype(jnp.int32), nstrat - 1)
+    t_sel = depth + 2 - s_sel
+
+    p_film = film_xy * cam.resolution.astype(jnp.float32)
+    u_lens = u[:, 4:6] if has_lens else None
+    o, d = camlib.generate_rays(cam, p_film, u_lens, kind=cam_kind)
+    off = 6
+    u_cam = u[:, off:off + 3 * T].reshape(C, T, 3)
+    off += 3 * T
+    u_lit = u[:, off:off + 3 * S].reshape(C, S, 3)
+    off += 3 * S
+    u_root = u[:, off:off + 7]
+    off += 7
+    u_nee = u[:, off:off + 4 * T].reshape(C, T, 4)
+    u_ext = dict(cam=u_cam, lit=u_lit, root=u_root, nee=u_nee)
+
+    key = jax.random.PRNGKey(0)  # unused: all draws come from u_ext
+    L, _ = bdptlib.trace_bdpt(scene, o, d, key, max_depth,
+                              use_pallas=use_pallas, u_ext=u_ext,
+                              sel_st=(s_sel, t_sel))
+    # scale by the strategy count AND the uniform depth selection
+    # (ref: mlt.cpp L() "* nStrategies" + Render()
+    # "b = bootstrap.funcInt * (maxDepth + 1)")
+    scale = (nstrat.astype(jnp.float32) * (max_depth + 1))[:, None]
+    return L * scale, film_xy
 
 
 def _eval(scene, cam, cam_kind, has_lens, u, path_cfg):
@@ -99,6 +158,15 @@ def render_mlt(sd, mutations_per_pixel: int = 64, seed: int = 0,
     D = _dims(cfg)
     key = jax.random.PRNGKey(seed)
 
+    if cfg.bdpt:
+        def eval_fn(u):
+            return _eval_bdpt(scene, cam, cam_kind, has_lens, u,
+                              cfg.max_depth,
+                              use_pallas=path_cfg.use_pallas)
+    else:
+        def eval_fn(u):
+            return _eval(scene, cam, cam_kind, has_lens, u, path_cfg)
+
     # ---- bootstrap: estimate b = E[I(u)] and seed the chains ----
     # (ref: mlt.cpp Render "Generate bootstrap samples and compute
     # normalization constant b")
@@ -107,8 +175,8 @@ def render_mlt(sd, mutations_per_pixel: int = 64, seed: int = 0,
     @jax.jit
     def bootstrap(k):
         u = jax.random.uniform(k, (cfg.n_bootstrap, D))
-        L, _ = _eval(scene, cam, cam_kind, has_lens, u, path_cfg)
-        return u, vm.luminance(L)
+        L, _ = eval_fn(u)
+        return u, vm.luminance(jnp.abs(L))
 
     u_boot, I_boot = bootstrap(k_boot)
     b = float(jnp.mean(I_boot))
@@ -129,16 +197,15 @@ def render_mlt(sd, mutations_per_pixel: int = 64, seed: int = 0,
 
     @jax.jit
     def chain_scan(u0, k):
-        L0, xy0 = _eval(scene, cam, cam_kind, has_lens, u0, path_cfg)
-        I0 = vm.luminance(L0)
+        L0, xy0 = eval_fn(u0)
+        I0 = vm.luminance(jnp.abs(L0))
         film0 = jnp.zeros((H, W, 3), jnp.float32)
 
         def step(carry, k_step):
             u, L, I, xy, film = carry
             u_new, is_large = _mutate(u, k_step, cfg.sigma, cfg.p_large)
-            L_new, xy_new = _eval(scene, cam, cam_kind, has_lens, u_new,
-                                  path_cfg)
-            I_new = vm.luminance(L_new)
+            L_new, xy_new = eval_fn(u_new)
+            I_new = vm.luminance(jnp.abs(L_new))
             a = jnp.minimum(1.0, I_new / jnp.maximum(I, 1e-20))
             # expected-values splatting (ref: mlt.cpp Run:
             # AddSplat(pProposed, L*a/L.y()); AddSplat(pCur, L*(1-a)/L.y()))

@@ -18,6 +18,8 @@ never correctness.
 from __future__ import annotations
 
 import numpy as np
+
+from ..utils import log
 import jax
 import jax.numpy as jnp
 
@@ -338,7 +340,7 @@ def render_sppm(sd, n_iterations: int = 64, seed: int = 0, use_pallas=None,
     dt = time.time() - t0
     rays = n_iterations * (N + n_photons) * max_depth
     if total_dropped:
-        print(f"sppm: {total_dropped} photon-cell overflows "
+        log.warning(f"sppm: {total_dropped} photon-cell overflows "
               f"(K_CAP={K_CAP}) — slight energy loss", flush=True)
     return img, dict(seconds=dt, rays=rays,
                      mrays_per_s=rays / max(dt, 1e-9) / 1e6,

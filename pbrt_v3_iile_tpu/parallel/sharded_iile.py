@@ -57,6 +57,89 @@ def _task_fn_cache(key):
     return {}
 
 
+def _probe_stage(scene, cam, net, net_vars, key, coords, hemi_size,
+                 use_pallas, cam_kind):
+    """Probe shard body (shared by the shard_map task and the serial
+    oracle — the per-shard keying depends only on the DATA slice, never
+    on the axis index, so slice-for-slice serial execution reproduces
+    the mesh execution bitwise)."""
+    kj = smplr.wave_key(key, 2, 0, smplr.DIM_PIXEL_JITTER)
+    kj = jax.random.fold_in(kj, coords[0, 0] * 7919 + coords[0, 1])
+    jit_p = smplr.uniform(kj, coords.shape)
+    p_film = coords.astype(jnp.float32) + jit_p
+    o, d = camlib.generate_rays(cam, p_film, kind=cam_kind)
+    fi = probelib.find_first_nonspecular(scene, o, d, key,
+                                         use_pallas=use_pallas)
+    probe_valid_l = fi["found"] & (vm.luminance(fi["beta"]) > 0.0)
+    gb = probelib.render_probes(scene, fi["p"], fi["n"], key,
+                                hemi_size, use_pallas=use_pallas)
+    from ..models import transforms as nnx
+    x_in, aux = nnx.probe_to_network_input(gb.intensity, gb.normals,
+                                           gb.distance)
+    y_out = net.apply(net_vars, x_in, train=False)
+    R_l = nnx.network_output_to_radiance(y_out, aux)
+    R_l = jnp.where(probe_valid_l[:, None, None, None], R_l, 0.0)
+    return R_l, probe_valid_l, gb
+
+
+def _pixel_stage(scene, cam, key, R, probe_valid, g_right, g_up, g_look,
+                 g_origin, coords_all, fx, fy, n_ids, in_img, ts,
+                 hemi_size, use_pallas, cam_kind, W, H):
+    """Pixel shard body (same sharing contract as _probe_stage)."""
+    kpj = smplr.wave_key(key, 3, 0, smplr.DIM_PIXEL_JITTER)
+    kpj = jax.random.fold_in(kpj, fx[0] * 31 + fy[0])
+    jit_f = smplr.uniform(kpj, (fx.shape[0], 2))
+    pf = jnp.stack([fx, fy], axis=-1).astype(jnp.float32) + jit_f
+    fo, fd = camlib.generate_rays(cam, pf, kind=cam_kind)
+    kf = jax.random.fold_in(key, fx[0] * 131 + fy[0])
+    ff = probelib.find_first_nonspecular(scene, fo, fd, kf,
+                                         use_pallas=use_pallas)
+    rgb, valid = iisptlib._mis_stage(
+        scene, cam, R, probe_valid, g_look, g_origin, g_right, g_up,
+        g_look, coords_all, n_ids, fx, fy, in_img,
+        ff["found"], ff["beta"], ff["p"], ff["n"], ff["wo"],
+        ff["mat"], ff["uv"], jax.random.fold_in(kf, 9),
+        ts, hemi_size)
+    flat_idx = jnp.where(in_img, fy * W + fx, W * H)
+    return flat_idx, rgb, valid
+
+
+def task_serial_oracle(sd, hemi_size, net, scene, cam, net_vars, key,
+                       coords, fx, fy, n_ids, in_img, ts, n_shards,
+                       use_pallas: bool = False):
+    """Single-device oracle for make_sharded_task_fn: processes the same
+    shard slices sequentially with the identical data-derived keys, so
+    its outputs match the mesh execution bitwise (tests/test_multichip
+    per-pixel equality; SURVEY P1/P6 determinism contract)."""
+    W, H = sd.film.x_resolution, sd.film.y_resolution
+    cam_kind = camlib.KIND.get(sd.camera.kind, 0)
+    Pp = coords.shape[0] // n_shards
+    Px = fx.shape[0] // n_shards
+    Rs, vs, gbs = [], [], []
+    for i in range(n_shards):
+        R_l, pv_l, gb = _probe_stage(
+            scene, cam, net, net_vars, key,
+            coords[i * Pp:(i + 1) * Pp], hemi_size, use_pallas, cam_kind)
+        Rs.append(R_l)
+        vs.append(pv_l)
+        gbs.append(gb)
+    R = jnp.concatenate(Rs)
+    probe_valid = jnp.concatenate(vs)
+    g_right = jnp.concatenate([g.right for g in gbs])
+    g_up = jnp.concatenate([g.up for g in gbs])
+    g_look = jnp.concatenate([g.look for g in gbs])
+    g_origin = jnp.concatenate([g.origin for g in gbs])
+    coords_all = coords.astype(jnp.float32)
+    outs = []
+    for i in range(n_shards):
+        sl = slice(i * Px, (i + 1) * Px)
+        outs.append(_pixel_stage(
+            scene, cam, key, R, probe_valid, g_right, g_up, g_look,
+            g_origin, coords_all, fx[sl], fy[sl], n_ids[sl], in_img[sl],
+            ts, hemi_size, use_pallas, cam_kind, W, H))
+    return tuple(jnp.concatenate([o[j] for o in outs]) for j in range(3))
+
+
 def make_sharded_task_fn(sd, mesh, hemi_size: int, net,
                          use_pallas: bool = False):
     """Returns f(scene, cam, net_vars, key, coords, fx, fy, n_ids, in_img,
@@ -78,23 +161,9 @@ def make_sharded_task_fn(sd, mesh, hemi_size: int, net,
     def task_shard(scene, cam, net_vars, key, coords, fx, fy, n_ids,
                    in_img, ts):
         # ---- probe stage (local probe shard) ----
-        kj = smplr.wave_key(key, 2, 0, smplr.DIM_PIXEL_JITTER)
-        # decorrelate shards without depending on shard count
-        kj = jax.random.fold_in(kj, coords[0, 0] * 7919 + coords[0, 1])
-        jit_p = smplr.uniform(kj, coords.shape)
-        p_film = coords.astype(jnp.float32) + jit_p
-        o, d = camlib.generate_rays(cam, p_film, kind=cam_kind)
-        fi = probelib.find_first_nonspecular(scene, o, d, key,
-                                             use_pallas=use_pallas)
-        probe_valid_l = fi["found"] & (vm.luminance(fi["beta"]) > 0.0)
-        gb = probelib.render_probes(scene, fi["p"], fi["n"], key,
-                                    hemi_size, use_pallas=use_pallas)
-        from ..models import transforms as nnx
-        x_in, aux = nnx.probe_to_network_input(gb.intensity, gb.normals,
-                                               gb.distance)
-        y_out = net.apply(net_vars, x_in, train=False)
-        R_l = nnx.network_output_to_radiance(y_out, aux)
-        R_l = jnp.where(probe_valid_l[:, None, None, None], R_l, 0.0)
+        R_l, probe_valid_l, gb = _probe_stage(
+            scene, cam, net, net_vars, key, coords, hemi_size,
+            use_pallas, cam_kind)
 
         # ---- halo exchange: gather ALL probes to every shard ----
         def gather(x):
@@ -109,22 +178,10 @@ def make_sharded_task_fn(sd, mesh, hemi_size: int, net,
         coords_all = gather(coords).astype(jnp.float32)
 
         # ---- pixel stage (local pixel shard) ----
-        kpj = smplr.wave_key(key, 3, 0, smplr.DIM_PIXEL_JITTER)
-        kpj = jax.random.fold_in(kpj, fx[0] * 31 + fy[0])
-        jit_f = smplr.uniform(kpj, (fx.shape[0], 2))
-        pf = jnp.stack([fx, fy], axis=-1).astype(jnp.float32) + jit_f
-        fo, fd = camlib.generate_rays(cam, pf, kind=cam_kind)
-        kf = jax.random.fold_in(key, fx[0] * 131 + fy[0])
-        ff = probelib.find_first_nonspecular(scene, fo, fd, kf,
-                                             use_pallas=use_pallas)
-        rgb, valid = iisptlib._mis_stage(
-            scene, cam, R, probe_valid, g_look, g_origin, g_right, g_up,
-            g_look, coords_all, n_ids, fx, fy, in_img,
-            ff["found"], ff["beta"], ff["p"], ff["n"], ff["wo"],
-            ff["mat"], ff["uv"], jax.random.fold_in(kf, 9),
-            ts, hemi_size)
-        flat_idx = jnp.where(in_img, fy * W + fx, W * H)
-        return flat_idx, rgb, valid
+        return _pixel_stage(
+            scene, cam, key, R, probe_valid, g_right, g_up, g_look,
+            g_origin, coords_all, fx, fy, n_ids, in_img, ts, hemi_size,
+            use_pallas, cam_kind, W, H)
 
     return jax.jit(task_shard)
 

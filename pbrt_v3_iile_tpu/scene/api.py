@@ -17,6 +17,8 @@ from typing import Optional
 
 import numpy as np
 
+from ..utils import log
+
 from ..utils import transforms as xf
 from .paramset import ParamSet
 from . import shapes as shapelib
@@ -478,9 +480,8 @@ class Api:
                     else np.ones(nx * ny * nz, np.float32))
             if dens.size != nx * ny * nz:
                 import sys
-                print(f"warning: medium '{name}': {dens.size} density "
-                      f"values for {nx}x{ny}x{nz} grid; padding/truncating",
-                      file=sys.stderr)
+                log.warning(f"medium '{name}': {dens.size} density "
+            f"values for {nx}x{ny}x{nz} grid; padding/truncating")
                 dens = np.resize(dens, nx * ny * nz)
             # pbrt layout: density[(z*ny + y)*nx + x]
             rec.density = dens.reshape(nz, ny, nx)
@@ -565,8 +566,8 @@ class Api:
                 m.eta = float(eta)
                 m.remap_roughness = False
             except Exception as e:
-                print(f"warning: fourier material '{fname}': {e}; "
-                      f"degrading to matte", file=sys.stderr)
+                log.warning(f"fourier material '{fname}': {e}; "
+            f"degrading to matte")
         # defaults follow the Create*Material factories (src/materials/*.cpp)
         if kind == "matte":
             m.kd = ps.find_one_rgb("Kd", [0.5, 0.5, 0.5])
@@ -811,8 +812,7 @@ class Api:
                             fov=ps.find_one_float("fov", 45.0)))
         else:
             import sys
-            print(f"warning: light '{kind}' not supported, skipping",
-                  file=sys.stderr)
+            log.warning(f"light '{kind}' not supported, skipping")
 
     def AreaLightSource(self, kind, ps: ParamSet):
         self.gs.area_light = ps

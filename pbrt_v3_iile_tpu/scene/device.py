@@ -13,6 +13,8 @@ import os
 from typing import NamedTuple
 
 import numpy as np
+
+from ..utils import log
 import jax.numpy as jnp
 
 from ..ops import bvh as bvhlib
@@ -494,16 +496,15 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True,
             img = None
             if lrec.map_name and not os.path.exists(lrec.map_name):
                 import sys
-                print(f"warning: light map {lrec.map_name} not found; "
-                      f"treating as unfiltered", file=sys.stderr)
+                log.warning(f"light map {lrec.map_name} not found; "
+            f"treating as unfiltered")
             if lrec.map_name and os.path.exists(lrec.map_name):
                 try:
                     img = texlib._load_image_any(lrec.map_name)
                     aspect = img.shape[1] / img.shape[0]
                 except Exception as e:
                     import sys
-                    print(f"warning: projection map load failed: {e}",
-                          file=sys.stderr)
+                    log.warning(f"projection map load failed: {e}")
             # ref: projection.cpp screen window — fov maps to the
             # shorter axis; the longer axis extends by the aspect ratio
             if aspect > 1.0:
@@ -518,8 +519,8 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True,
         else:  # goniometric
             if lrec.map_name and not os.path.exists(lrec.map_name):
                 import sys
-                print(f"warning: light map {lrec.map_name} not found; "
-                      f"treating as unfiltered", file=sys.stderr)
+                log.warning(f"light map {lrec.map_name} not found; "
+            f"treating as unfiltered")
             if lrec.map_name and os.path.exists(lrec.map_name):
                 try:
                     img = texlib._load_image_any(lrec.map_name)
@@ -527,8 +528,7 @@ def build_device_scene(sd: apilib.SceneDesc, use_native_bvh: bool = True,
                     lmaps.append(_resample_bilinear(img, MH, MW))
                 except Exception as e:
                     import sys
-                    print(f"warning: gonio map load failed: {e}",
-                          file=sys.stderr)
+                    log.warning(f"gonio map load failed: {e}")
     for i in range(L):
         if limg_id[i] >= 0:
             lum = lmaps[limg_id[i]] @ np.array([0.212671, 0.715160, 0.072169])
@@ -827,15 +827,15 @@ def _build_env_map(sd):
             continue
         if not os.path.exists(lrec.map_name):
             import sys
-            print(f"warning: env map {lrec.map_name} not found; using "
-                  f"constant color", file=sys.stderr)
+            log.warning(f"env map {lrec.map_name} not found; using "
+            f"constant color")
             continue
         from . import textures as texlib
         try:
             img = texlib._load_image_any(lrec.map_name)
         except Exception as e:
             import sys
-            print(f"warning: env map load failed: {e}", file=sys.stderr)
+            log.warning(f"env map load failed: {e}")
             continue
         img = img * np.asarray(lrec.L, np.float32)
         if lrec.to_world is not None:

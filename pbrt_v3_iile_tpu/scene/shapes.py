@@ -12,6 +12,8 @@ import os
 
 import numpy as np
 
+from ..utils import log
+
 from ..utils import transforms as xf
 from . import loopsubdiv, ply
 from .paramset import ParamSet
@@ -53,7 +55,7 @@ def create_triangles(kind: str, ps: ParamSet, ctm, reverse_orientation: bool,
         mesh = _tessellate_nurbs(ps)
     else:
         import sys
-        print(f"warning: unknown shape '{kind}', skipping", file=sys.stderr)
+        log.warning(f"unknown shape '{kind}', skipping")
         return None
 
     if mesh is None:

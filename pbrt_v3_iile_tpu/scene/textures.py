@@ -21,6 +21,8 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+
+from ..utils import log
 import jax
 import jax.numpy as jnp
 
@@ -204,8 +206,7 @@ def build_table(named_textures: dict) -> tuple[TextureTable, dict]:
                 imgid[i] = len(atlas_imgs) - 1
             except Exception as e:  # missing/unsupported file -> gray
                 import sys
-                print(f"warning: texture {fn}: {e}; using 0.5 constant",
-                      file=sys.stderr)
+                log.warning(f"texture {fn}: {e}; using 0.5 constant")
                 kind[i] = TEX_CONST
                 v1[i] = [0.5, 0.5, 0.5]
         elif rec.kind == "ptex":
@@ -222,8 +223,7 @@ def build_table(named_textures: dict) -> tuple[TextureTable, dict]:
                 ptex_tex_slot.append(i)
             except Exception as e:  # missing/bad file -> gray fallback
                 import sys
-                print(f"warning: ptex {fn}: {e}; using 0.5 constant",
-                      file=sys.stderr)
+                log.warning(f"ptex {fn}: {e}; using 0.5 constant")
                 kind[i] = TEX_CONST
                 v1[i] = [0.5, 0.5, 0.5]
         elif rec.kind in ("fbm", "wrinkled", "windy", "marble"):

@@ -1,0 +1,128 @@
+"""Quality-vs-time: IILE vs path on the atrium interior.
+
+The analogue of the reference's headline measurement
+(ref: tools/charts_whiteroom.py:7-48, charts_mbed1.py — PSNR/entropy of
+IILE at T indirect tasks vs path at N spp against a converged render).
+Writes QUALITY_r{round}.json at the repo root and prints a summary.
+
+Run on the chip:  python scripts/bench_quality.py [--res 256]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def psnr(img, ref):
+    mse = float(np.mean((img - ref) ** 2))
+    if mse <= 0:
+        return 99.0
+    peak = float(ref.max())
+    return 10.0 * np.log10(peak * peak / mse)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--scene", default=os.path.join(ROOT, "scenes",
+                                                    "atrium.pbrt"))
+    ap.add_argument("--ref-spp", type=int, default=512)
+    ap.add_argument("--out", default=os.path.join(ROOT, "QUALITY_r03.json"))
+    ap.add_argument("--ref-cache", default="/tmp/atrium_quality_ref.npz")
+    args = ap.parse_args()
+
+    import jax
+    from pbrt_v3_iile_tpu.scene import api as apilib
+    from pbrt_v3_iile_tpu.integrators import render as renderlib
+    from pbrt_v3_iile_tpu.integrators import iispt as iisptlib
+    from pbrt_v3_iile_tpu.utils import metrics as metlib
+
+    def load_sd():
+        sd = apilib.load_scene(args.scene)
+        sd.film.x_resolution = sd.film.y_resolution = args.res
+        return sd
+
+    backend = jax.default_backend()
+    print("backend:", backend, flush=True)
+
+    # ---- converged reference (cached across runs) ----
+    key_cfg = f"{args.scene}:{args.res}:{args.ref_spp}"
+    ref = None
+    if os.path.exists(args.ref_cache):
+        z = np.load(args.ref_cache, allow_pickle=True)
+        if str(z.get("cfg")) == key_cfg:
+            ref = z["img"]
+            print("reference: cached", flush=True)
+    if ref is None:
+        sd = load_sd()
+        sd.integrator.kind = "path"
+        t0 = time.time()
+        ref, _ = renderlib.render(sd, spp=args.ref_spp)
+        print(f"reference render: {args.ref_spp} spp in "
+              f"{time.time() - t0:.0f}s", flush=True)
+        np.savez_compressed(args.ref_cache, img=ref, cfg=key_cfg)
+
+    results = dict(scene=os.path.basename(args.scene), res=args.res,
+                   ref_spp=args.ref_spp, backend=backend,
+                   path=[], iile=[])
+
+    # ---- path curve ----
+    for spp in (1, 2, 4, 8, 16, 32, 64):
+        sd = load_sd()
+        sd.integrator.kind = "path"
+        t0 = time.time()
+        img, st = renderlib.render(sd, spp=spp)
+        dt = time.time() - t0
+        entry = dict(spp=spp, seconds=round(dt, 2),
+                     psnr=round(psnr(img, ref), 2),
+                     ssim=round(float(metlib.ssim(img, ref)), 4))
+        results["path"].append(entry)
+        print("path", entry, flush=True)
+
+    # ---- IILE curve ----
+    for tasks in (1, 2, 4, 8, 16):
+        sd = load_sd()
+        sd.integrator.kind = "iispt"
+        t0 = time.time()
+        comb, direct, indirect, st = iisptlib.render_iile(
+            sd, indirect_tasks=tasks, direct_samples=2 * tasks,
+            radius_start=max(16.0, args.res / 5.0))
+        dt = time.time() - t0
+        entry = dict(tasks=tasks, direct=2 * tasks, seconds=round(dt, 2),
+                     psnr=round(psnr(comb, ref), 2),
+                     ssim=round(float(metlib.ssim(comb, ref)), 4))
+        results["iile"].append(entry)
+        print("iile", entry, flush=True)
+
+    # ---- equal-time comparison: best path PSNR at <= t for each IILE t
+    summary = []
+    for e in results["iile"]:
+        t = e["seconds"]
+        best_path = max((p for p in results["path"]
+                         if p["seconds"] <= t * 1.05),
+                        key=lambda p: p["psnr"], default=None)
+        summary.append(dict(
+            seconds=t, iile_psnr=e["psnr"],
+            path_psnr_at_time=(best_path or {}).get("psnr"),
+            iile_wins=bool(best_path and e["psnr"] > best_path["psnr"])))
+    results["equal_time"] = summary
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote", args.out, flush=True)
+    for s in summary:
+        print(s, flush=True)
+
+
+if __name__ == "__main__":
+    main()

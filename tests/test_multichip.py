@@ -201,3 +201,69 @@ def test_sharded_dataset_generation_matches_serial():
                                       np.asarray(serial[k]),
                                       err_msg=f"map {k} differs")
     assert np.asarray(sharded["valid"]).any()
+
+
+def test_sharded_iile_task_matches_serial_oracle_per_pixel():
+    """The mesh-sharded IILE task must equal the serial shard-slice
+    oracle PER PIXEL (not just at image-mean level) — same data-derived
+    keys, same slice shapes (VERDICT r2 weak #7; SURVEY P1/P6)."""
+    import jax.numpy as jnp
+    from pbrt_v3_iile_tpu.parallel import mesh as meshlib, sharded_iile
+    from pbrt_v3_iile_tpu.integrators import iispt as iisptlib
+    from pbrt_v3_iile_tpu.integrators import schedule as schedlib
+    from pbrt_v3_iile_tpu.integrators import render as renderlib
+    from pbrt_v3_iile_tpu.scene import api as apilib
+    from pbrt_v3_iile_tpu.models import iisptnet
+
+    sd = apilib.load_scene_string(_SCENE_TEXT)
+    mesh = meshlib.make_mesh(8)
+    nd = 8
+    hemi = 8
+    scene, cam = renderlib.build(sd)
+    W, H = sd.film.x_resolution, sd.film.y_resolution
+    net = iisptnet.IISPTNet()
+    net_vars = net.init(jax.random.PRNGKey(42),
+                        jnp.zeros((1, hemi, hemi, 7)), train=False)
+    task_fn = sharded_iile.make_sharded_task_fn(sd, mesh, hemi, net)
+    tasks = schedlib.compute_schedule(W, H, 1, radius_start=8.0)
+    task = tasks[0]
+    ts = task.tilesize
+    G = schedlib.NUMBER_TILES + 1
+    Pp = ((G * G + nd - 1) // nd) * nd
+    coords = iisptlib.task_probe_coords(
+        jnp.int32(task.x0), jnp.int32(task.y0), ts, W, H)
+    coords = sharded_iile._pad_to(coords, Pp)
+    task_size = schedlib.NUMBER_TILES * ts
+    x1 = min(task.x0 + task_size, W)
+    y1 = min(task.y0 + task_size, H)
+    wx = max(x1 - task.x0, 1)
+    wy = max(y1 - task.y0, 1)
+    npix = ((wx * wy + nd - 1) // nd) * nd
+    li = np.arange(npix)
+    lx = li % wx
+    ly = np.minimum(li // wx, wy - 1)
+    fx = jnp.asarray(task.x0 + lx, jnp.int32)
+    fy = jnp.asarray(task.y0 + ly, jnp.int32)
+    in_img = jnp.asarray((np.asarray(task.x0 + lx) < x1)
+                         & (np.asarray(task.y0 + ly) < y1)
+                         & (li < wx * wy))
+    gi = np.clip(lx // ts, 0, G - 2)
+    gj = np.clip(ly // ts, 0, G - 2)
+    n_ids = jnp.asarray(np.stack([
+        gj * G + gi, (gj + 1) * G + gi + 1,
+        gj * G + gi + 1, (gj + 1) * G + gi,
+    ], axis=-1).astype(np.int32))
+    key = jax.random.PRNGKey(77)
+
+    idx_s, rgb_s, val_s = task_fn(scene, cam, net_vars, key, coords, fx,
+                                  fy, n_ids, in_img, jnp.int32(ts))
+    idx_o, rgb_o, val_o = sharded_iile.task_serial_oracle(
+        sd, hemi, net, scene, cam, net_vars, key, coords, fx, fy, n_ids,
+        in_img, jnp.int32(ts), n_shards=nd)
+
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_o))
+    np.testing.assert_array_equal(np.asarray(val_s), np.asarray(val_o))
+    rs, ro = np.asarray(rgb_s), np.asarray(rgb_o)
+    # per-pixel agreement (tiny float tolerance: collective reduction
+    # order may differ from the serial concat)
+    np.testing.assert_allclose(rs, ro, rtol=1e-4, atol=1e-5)
