@@ -276,14 +276,16 @@ def run_task(scene, cam, sd, net, net_vars, fns, key, task,
     idx_all, rgb_all, val_all = [], [], []
     npix = wx * wy
     for c0 in range(0, npix, PIXEL_CHUNK):
-        c1 = min(c0 + PIXEL_CHUNK, npix)
-        n_chunk = c1 - c0
-        li = jnp.arange(c0, c1)
-        lx = li % wx
-        ly = li // wx
+        # constant chunk SHAPE (overhang masked by in_img): a varying
+        # tail size would recompile every jitted pixel stage per task —
+        # measured tens of seconds per distinct shape on the remote
+        # compile service
+        li = jnp.arange(c0, c0 + PIXEL_CHUNK)
+        lx = (li % wx)
+        ly = jnp.minimum(li // wx, wy - 1)
         fx = task.x0 + lx
         fy = task.y0 + ly
-        in_img = (fx < x1) & (fy < y1)
+        in_img = (fx < x1) & (fy < y1) & (li < npix)
         fo, fd = fns["pixel_rays"](cam, jax.random.fold_in(key, 7 + c0),
                                    fx, fy)
         ff = probelib.find_first_nonspecular(

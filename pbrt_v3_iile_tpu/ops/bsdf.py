@@ -427,15 +427,25 @@ def evaluate(p: BsdfParams, wo, wi, enable_hair: bool = True):
            + jnp.where(valid_g, w[..., 1] * pdf_gloss, 0.0))
 
     # ---- exact FourierBSDF (ref: reflection.cpp FourierBSDF::f) ----
-    # f comes from the measured table; the pdf stays the proxy-lobe mix
-    # above (exact-f/proxy-pdf is unbiased; transmissive table entries
-    # get pdf 0 here, so MIS falls back to the light strategy for them).
+    # f comes from the measured table; the pdf is the proxy-lobe mix
+    # (exact-f/proxy-pdf is unbiased as long as the proxy pdf covers
+    # f's support): for transmissive tables (kt proxy > 0, set from the
+    # table's eta at parse time) the diffuse proxy becomes a TWO-SIDED
+    # cosine so transmitted directions are samplable (ADVICE r2).
     if p.fourier is not None:
         from . import fourierbsdf as fourierlib
 
         is_fourier = p.kind == MAT_FOURIER
         f_four = fourierlib.evaluate_device(p.fourier, p.fourier_id, wo, wi)
         f = jnp.where(is_fourier[..., None], f_four, f)
+        kt_l = _lum(p.kt)
+        pt = kt_l / jnp.maximum(_lum(p.kd) + kt_l, 1e-9)
+        cos_pdf = jnp.abs(wi[..., 2]) * smp.INV_PI
+        pdf_diff_2s = jnp.where(refl, (1.0 - pt), pt) * cos_pdf
+        pdf_four = (w[..., 0] * pdf_diff_2s
+                    + jnp.where(refl & (d > 0.0),
+                                w[..., 1] * pdf_gloss, 0.0))
+        pdf = jnp.where(is_fourier, pdf_four, pdf)
 
     # ---- hair fiber lobe (full-sphere, ref: materials/hair.cpp) ----
     if enable_hair:
@@ -480,10 +490,19 @@ def sample(p: BsdfParams, wo, u_lobe, u2, enable_hair: bool = True) -> BsdfSampl
     cos_o = jnp.abs(wo[..., 2])
     sign_o = jnp.where(wo[..., 2] >= 0.0, 1.0, -1.0)
 
-    # --- candidate: diffuse (cosine hemisphere on wo's side) ---
+    # --- candidate: diffuse (cosine hemisphere on wo's side; fourier
+    # tables with transmission flip to the far side with probability
+    # pt = kt/(kd+kt), mirroring the two-sided proxy pdf in evaluate) ---
     wi_d = smp.cosine_sample_hemisphere(u2)
+    is_four_s = p.kind == MAT_FOURIER
+    kt_l_s = _lum(p.kt)
+    pt_s = jnp.where(is_four_s,
+                     kt_l_s / jnp.maximum(_lum(p.kd) + kt_l_s, 1e-9), 0.0)
+    u_c0 = jnp.clip(u_lobe / jnp.maximum(w[..., 0], 1e-9), 0.0, 1.0)
+    flip_t = is_four_s & (u_c0 < pt_s)
+    d_sign = jnp.where(flip_t, -sign_o, sign_o)
     wi_d = wi_d * jnp.stack([jnp.ones_like(sign_o), jnp.ones_like(sign_o),
-                             sign_o], axis=-1)
+                             d_sign], axis=-1)
 
     # --- candidate: glossy (sample wh, reflect) ---
     wh = tr_sample_wh(wo, u2, p.alpha)
@@ -549,9 +568,13 @@ def sample(p: BsdfParams, wo, u_lobe, u2, enable_hair: bool = True) -> BsdfSampl
 
     valid = pdf > 0.0
     valid = valid & jnp.where(lobe == 3, t_ok, True)
-    valid = valid & jnp.where(lobe <= 1, _same_hemisphere(wo, wi), True)
+    # diffuse/glossy lobes stay hemisphere-bound EXCEPT the fourier
+    # two-sided diffuse proxy, whose far-side flips are intentional
+    same_h = _same_hemisphere(wo, wi)
+    hemi_ok = same_h | (is_four_s & (lobe == 0))
+    valid = valid & jnp.where(lobe <= 1, hemi_ok, True)
     valid = valid & (cos_o > 0.0)
-    is_trans = lobe == 3
+    is_trans = (lobe == 3) | (is_four_s & (lobe == 0) & ~same_h)
 
     # ---- hair fiber sampling (ref: hair.cpp HairBSDF::Sample_f) ----
     if enable_hair:

@@ -565,6 +565,12 @@ class Api:
                 m.roughness = float(alpha)
                 m.eta = float(eta)
                 m.remap_roughness = False
+                # transmissive tables (eta != 1) get a transmission
+                # proxy weight so BSDF sampling covers the far
+                # hemisphere (ADVICE r2: a reflection-only proxy pdf
+                # silently loses indirect transmitted paths)
+                if abs(float(eta) - 1.0) > 1e-3:
+                    m.kt = np.maximum(m.kd, 1e-2)
             except Exception as e:
                 log.warning(f"fourier material '{fname}': {e}; "
             f"degrading to matte")

@@ -171,3 +171,52 @@ def test_fourier_render_matches_matte():
     assert np.isfinite(img_f).all()
     assert abs(img_f.mean() - img_m.mean()) < 0.03 * max(img_m.mean(), 1e-6)
     os.unlink(f.name)
+
+
+def test_transmissive_fourier_proxy_samples_far_hemisphere():
+    """A transmissive table (eta != 1) must get a transmission proxy
+    lobe: BSDF sampling produces far-hemisphere directions with
+    pdf > 0, so indirect transmitted paths are no longer lost
+    (ADVICE r2: reflection-only proxy pdf)."""
+    import jax
+    import jax.numpy as jnp
+    from pbrt_v3_iile_tpu.ops import bsdf as bsdflib
+    from pbrt_v3_iile_tpu.integrators import render as renderlib
+
+    t = fblib.make_lambertian_table(albedo=0.4, n_mu=12)
+    t.eta = 1.33  # transmissive marker
+    f = tempfile.NamedTemporaryFile(suffix=".bsdf", delete=False)
+    f.close()
+    fblib.write_bsdf(f.name, t)
+    scene_text = f"""
+    LookAt 0 1 -3  0 1 0  0 1 0
+    Camera "perspective" "float fov" [60]
+    Film "image" "integer xresolution" [8] "integer yresolution" [8]
+    WorldBegin
+    LightSource "point" "rgb I" [10 10 10]
+    Material "fourier" "string bsdffile" ["{f.name}"]
+    Shape "trianglemesh" "point P" [-3 0 2  3 0 2  3 3 2  -3 3 2]
+      "integer indices" [0 2 1 0 3 2]
+    WorldEnd
+    """
+    sd = apilib.load_scene_string(scene_text)
+    scene, cam = renderlib.build(sd)
+    assert float(scene.mat_kt[1].sum()) > 0 or \
+        float(scene.mat_kt.sum()) > 0, "kt proxy must be set"
+
+    N = 4096
+    key = jax.random.PRNGKey(0)
+    mat_id = jnp.ones((N,), jnp.int32) * int(np.argmax(
+        np.asarray(scene.mat_kind) == apilib.MAT_FOURIER))
+    params = bsdflib.gather_params(scene, mat_id)
+    wo = jnp.tile(jnp.asarray([[0.3, 0.1, 0.95]]) /
+                  np.linalg.norm([0.3, 0.1, 0.95]), (N, 1))
+    u_lobe = jax.random.uniform(jax.random.fold_in(key, 1), (N,))
+    u2 = jax.random.uniform(jax.random.fold_in(key, 2), (N, 2))
+    bs = bsdflib.sample(params, wo, u_lobe, u2)
+    trans = np.asarray(bs.wi[:, 2] * wo[:, 2] < 0) & np.asarray(bs.valid)
+    frac = trans.mean()
+    assert frac > 0.1, f"no transmitted samples ({frac})"
+    pdf_t = np.asarray(bs.pdf)[trans]
+    assert (pdf_t > 0).all(), "transmitted samples need pdf > 0"
+    os.unlink(f.name)
