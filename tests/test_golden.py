@@ -29,3 +29,27 @@ def test_killeroo_matches_golden():
     # per-pixel: 99% of pixels within 5%+eps
     rel = np.abs(img - ref) / (np.abs(ref) + 1e-2)
     assert float((rel < 0.05).mean()) > 0.99
+
+
+GOLDEN_ATRIUM = os.path.join(os.path.dirname(__file__), "golden",
+                             "atrium64_8spp_seed7.npy")
+
+
+@pytest.mark.slow
+def test_atrium_matches_golden():
+    """Second golden scene: the committed interior benchmark (mixed
+    materials incl. glass/metal/uber, env+sun+area lights, 99k tris)
+    guards far more of the estimator than killeroo alone."""
+    from pbrt_v3_iile_tpu.scene import api as apilib
+    from pbrt_v3_iile_tpu.integrators import render as renderlib
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sd = apilib.load_scene(os.path.join(root, "scenes", "atrium.pbrt"))
+    sd.film.x_resolution = 64
+    sd.film.y_resolution = 64
+    sd.integrator.max_depth = 3
+    img, _ = renderlib.render(sd, spp=8, seed=7)
+    ref = np.load(GOLDEN_ATRIUM)
+    assert abs(float(img.mean()) - float(ref.mean())) < 0.02 * ref.mean()
+    rel = np.abs(img - ref) / (np.abs(ref) + 1e-2)
+    assert float((rel < 0.05).mean()) > 0.99
