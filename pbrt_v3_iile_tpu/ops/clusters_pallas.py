@@ -317,7 +317,10 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
     key = cluster_lib.sort_key(o, d, wmin, wmax)
     key = jnp.where(t_max > 0.0, key, jnp.int32(0x7FFFFFFF))
     perm = jnp.argsort(key)
-    inv_perm = jnp.argsort(perm)
+    # inverse permutation via scatter (an argsort of a permutation is
+    # just inv[perm[i]] = i — one scatter beats a second full sort)
+    inv_perm = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype))
     os_, ds_, ts_ = o[perm], d[perm], t_max[perm]
 
     mask, tnear = cluster_lib.group_cull_tnear(

@@ -280,7 +280,8 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
             hit_s = intersect_pallas.intersect_bvh_pallas(
                 scene, jnp.take(o, perm, axis=0), jnp.take(d, perm, axis=0),
                 jnp.take(t_max, perm), any_hit=any_hit)
-            inv = jnp.argsort(perm)
+            inv = jnp.zeros_like(perm).at[perm].set(
+                jnp.arange(perm.shape[0], dtype=perm.dtype))
             hit = Hit(*(jnp.take(f, inv, axis=0) for f in hit_s))
         else:
             hit = intersect_pallas.intersect_bvh_pallas(scene, o, d, t_max,
