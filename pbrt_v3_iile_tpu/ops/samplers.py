@@ -178,17 +178,21 @@ def ctx_uniform(ctx, key, bounce, purpose, shape):
     if isinstance(ctx, HaltonCtx):
         # permuted radical inverse at the global dimension index
         # (2 + per-bounce layout), decorrelated per pixel with a
-        # Cranley-Patterson rotation (halton.cpp per-pixel role)
+        # Cranley-Patterson rotation (halton.cpp per-pixel role).
+        # ctx.index is ONE scalar for the whole wavefront, so the
+        # 32-digit inverse runs on a single element and broadcasts —
+        # running it lane-wise cost 3.5x the whole render pass.
         for kk in range(k):
             code = (jnp.uint32(bounce) * jnp.uint32(64)
                     + jnp.uint32(purpose) * jnp.uint32(4)
                     + jnp.uint32(kk))
             dim = jnp.uint32(2) + code
-            x = lds.scrambled_radical_inverse_dyn(dim, i)
+            x1 = lds.scrambled_radical_inverse_dyn(
+                dim, jnp.reshape(ctx.index, (1,)))[0]
             rot = lds.hash_u32(
                 ctx.pixel ^ (code * jnp.uint32(0x9E3779B9)) ^ ctx.salt
             ).astype(jnp.float32) / 4294967296.0
-            cols.append(jnp.mod(x + rot, 1.0))
+            cols.append(jnp.mod(x1 + rot, 1.0))
     else:
         for pair in range((k + 1) // 2):
             sx = _dim_seed(ctx, bounce, purpose, 2 * pair)
