@@ -74,8 +74,8 @@ class PathConfig(NamedTuple):
     accel: str = "bvh"                # aggregate: "bvh" | "kdtree" |
                                       # "clusters" (fused MXU traversal)
                                       # (ref: api.cpp MakeAccelerator)
-    cluster_group: int = 128          # fused-kernel rays per group
-    cluster_maxc: int = 64            # fused-kernel max candidate
+    cluster_group: int = 64           # fused-kernel rays per group
+    cluster_maxc: int = 48            # fused-kernel max candidate
                                       # clusters per group (overflow ->
                                       # XLA-walker fallback)
 

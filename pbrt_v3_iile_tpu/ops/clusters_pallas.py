@@ -54,8 +54,8 @@ NF = 16          # ray/triangle feature rows (10 used, padded to 16)
 NQ = 5           # quantities per triangle: w0 w1 w2 num den
 NB = 4           # clusters tested per loop iteration (amortizes the
                  # DMA-latency + loop-overhead floor over 4x the work)
-G_DEFAULT = 128  # rays per group
-MAXC_DEFAULT = 128
+G_DEFAULT = 64   # rays per group (full-pass sweep optimum)
+MAXC_DEFAULT = 48
 
 
 class ClusterPack(NamedTuple):
