@@ -235,7 +235,7 @@ def _mis_stage(scene, cam, R, probe_valid, cam_look, cam_orig, right, up,
     return jnp.where(px_valid[:, None], rgb, 0.0), px_valid
 
 
-PIXEL_CHUNK = 16384
+PIXEL_CHUNK = 65536
 
 
 def run_task(scene, cam, sd, net, net_vars, fns, key, task,
@@ -275,12 +275,15 @@ def run_task(scene, cam, sd, net, net_vars, fns, key, task,
     wy = max(y1 - task.y0, 1)
     idx_all, rgb_all, val_all = [], [], []
     npix = wx * wy
-    for c0 in range(0, npix, PIXEL_CHUNK):
-        # constant chunk SHAPE (overhang masked by in_img): a varying
-        # tail size would recompile every jitted pixel stage per task —
-        # measured tens of seconds per distinct shape on the remote
-        # compile service
-        li = jnp.arange(c0, c0 + PIXEL_CHUNK)
+    # chunk shape from a FIXED ladder (overhang masked by in_img): a
+    # varying tail size would recompile every jitted pixel stage per
+    # task — measured tens of seconds per distinct shape on the remote
+    # compile service — while one giant fixed chunk wastes 20x+ compute
+    # on the small late-schedule tasks
+    chunk = next(c for c in (8192, 16384, 32768, PIXEL_CHUNK)
+                 if c >= min(npix, PIXEL_CHUNK))
+    for c0 in range(0, npix, chunk):
+        li = jnp.arange(c0, c0 + chunk)
         lx = (li % wx)
         ly = jnp.minimum(li // wx, wy - 1)
         fx = task.x0 + lx
