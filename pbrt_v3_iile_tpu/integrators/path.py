@@ -75,7 +75,7 @@ class PathConfig(NamedTuple):
                                       # "clusters" (fused MXU traversal)
                                       # (ref: api.cpp MakeAccelerator)
     cluster_group: int = 64           # fused-kernel rays per group
-    cluster_maxc: int = 48            # fused-kernel max candidate
+    cluster_maxc: int = 192            # fused-kernel max candidate
                                       # clusters per group (overflow ->
                                       # XLA-walker fallback)
 

@@ -230,6 +230,111 @@ def sort_key(o, d, world_min, world_max):
     return (oc << 27) | (m >> 3)   # keep within positive i32
 
 
+def sort_key6(o, d, world_min, world_max, obits: int = 8,
+              dbits: int = 4, o_lead: int = 3):
+    """6D coherence key: octant (3 bits), then interleaved origin- and
+    direction-Morton levels (o_lead leading origin levels, then
+    alternating o/d levels).  Bounce waves have wide direction spread
+    at nearby origins; giving the key direction bits below the first
+    few origin levels makes 64-ray groups direction-tight too —
+    measured on killeroo bounce-1: mean per-group candidate unions drop
+    ~1.5x vs the origin-only key (see BENCH_NOTES round 4).  3 + 3 *
+    (obits + dbits) must stay < 31."""
+    oc = ((d[:, 0] < 0).astype(jnp.int32)
+          + 2 * (d[:, 1] < 0).astype(jnp.int32)
+          + 4 * (d[:, 2] < 0).astype(jnp.int32))
+    ext = jnp.maximum(world_max - world_min, 1e-9)
+    qo = jnp.clip(((o - world_min[None]) / ext[None] * (1 << obits))
+                  .astype(jnp.int32), 0, (1 << obits) - 1)
+    qd = jnp.clip((jnp.abs(d) * (1 << dbits)).astype(jnp.int32),
+                  0, (1 << dbits) - 1)
+    key = oc
+    oi, di = obits, dbits
+    sched = ["o"] * o_lead
+    for i in range(max(obits - o_lead, dbits)):
+        if i < dbits:
+            sched.append("d")
+        if i < obits - o_lead:
+            sched.append("o")
+    for s in sched:
+        if s == "o":
+            oi -= 1
+            b = (((qo[:, 0] >> oi) & 1) | (((qo[:, 1] >> oi) & 1) << 1)
+                 | (((qo[:, 2] >> oi) & 1) << 2))
+        else:
+            di -= 1
+            b = (((qd[:, 0] >> di) & 1) | (((qd[:, 1] >> di) & 1) << 1)
+                 | (((qd[:, 2] >> di) & 1) << 2))
+        key = (key << 3) | b
+    return key
+
+
+def per_ray_cull(o, d, t_alive, amin, amax, group, chunk_groups=64):
+    """EXACT per-ray slab cull, reduced per group.
+
+    o, d: (N,3) sorted rays, N divisible by `group`.  Returns
+    (need (Gn,K) bool, tnear (Gn,K) f32): need[g,k] iff SOME live ray
+    of group g enters cluster k's AABB within its [0, t_max]; tnear is
+    the min entry distance over those rays (a valid lower bound for the
+    fused kernel's front-to-back order + exact early break).
+
+    This replaces the interval-arithmetic group cull for the fused
+    path: for diffuse bounce waves the interval bound degenerates (the
+    group's direction box spans the octant) and admits ~200 of K=784
+    clusters per group, while exact per-ray tests leave ~1 cluster per
+    ray and ~15 per 64-ray group union (measured, BENCH_NOTES round 4).
+    Work is O(N*K) slab tests = dense VPU math, chunked over groups to
+    bound the (B,G,K) intermediates."""
+    G = group
+    N = o.shape[0]
+    Gn = N // G
+    K = amin.shape[0]
+    B = min(chunk_groups, Gn)
+    pad_g = (-Gn) % B
+    S = (Gn + pad_g) // B
+    og = o.reshape(Gn, G, 3)
+    dg = d.reshape(Gn, G, 3)
+    tg = t_alive.reshape(Gn, G)
+    if pad_g:
+        og = jnp.concatenate([og, jnp.zeros((pad_g, G, 3), og.dtype)])
+        dg = jnp.concatenate(
+            [dg, jnp.ones((pad_g, G, 3), dg.dtype)])
+        tg = jnp.concatenate([tg, jnp.full((pad_g, G), -1.0, tg.dtype)])
+    og = og.reshape(S, B, G, 3)
+    dg = dg.reshape(S, B, G, 3)
+    tg = tg.reshape(S, B, G)
+    big = jnp.float32(3.0e38)
+
+    def step(_, blk):
+        oo, dd, tt = blk
+        inv = jnp.where(jnp.abs(dd) > 1e-12,
+                        1.0 / jnp.where(dd == 0, 1.0, dd),
+                        jnp.where(dd >= 0, 1e30, -1e30))    # (B,G,3)
+        live = tt > 0.0                                     # (B,G)
+        # accumulate per-axis to keep peak memory at (B,G,K)
+        tn = jnp.zeros((B, G, K), jnp.float32)
+        tf = jnp.full((B, G, K), big)
+        for ax in range(3):
+            lo = (amin[None, None, :, ax] - oo[:, :, None, ax]) \
+                * inv[:, :, None, ax]                       # (B,G,K)
+            hi = (amax[None, None, :, ax] - oo[:, :, None, ax]) \
+                * inv[:, :, None, ax]
+            tn = jnp.maximum(tn, jnp.minimum(lo, hi))
+            tf = jnp.minimum(tf, jnp.maximum(lo, hi))
+        tf = tf * 1.0000004          # pbrt slab robustness (gamma(3))
+        hit = (tn <= tf) & (tf > 0.0) & (tn <= tt[:, :, None]) \
+            & live[:, :, None]
+        need = jnp.any(hit, axis=1)                         # (B,K)
+        tnear = jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0), big),
+                        axis=1)                             # (B,K)
+        return None, (need, tnear)
+
+    _, (need, tnear) = jax.lax.scan(step, None, (og, dg, tg))
+    need = need.reshape(S * B, K)[:Gn]
+    tnear = tnear.reshape(S * B, K)[:Gn]
+    return need, tnear
+
+
 def _group_cull(o, d, t_alive, amin, amax, group):
     """Conservative group-vs-cluster AABB test (mask only)."""
     return group_cull_tnear(o, d, t_alive, amin, amax, group)[0]

@@ -50,17 +50,19 @@ from .intersect import Hit
 from . import clusters as cluster_lib
 
 C = 128          # triangles per cluster (one lane tile per quantity)
-NF = 16          # ray/triangle feature rows (10 used, padded to 16)
+NF = 16          # ray feature lanes (10 used, padded to 16)
+NR = 10          # triangle feature rows
 NQ = 5           # quantities per triangle: w0 w1 w2 num den
+NQP = 8          # quantity bands padded to the sublane tile
 NB = 4           # clusters tested per loop iteration (amortizes the
                  # DMA-latency + loop-overhead floor over 4x the work)
 G_DEFAULT = 64   # rays per group (full-pass sweep optimum)
-MAXC_DEFAULT = 48
+MAXC_DEFAULT = 192
 
 
 class ClusterPack(NamedTuple):
     """Device tables for the fused kernel (triangles in BVH order)."""
-    feat: jnp.ndarray      # (K, NF, NQ*C) f32 packed features (HBM)
+    feat: jnp.ndarray      # (K, NR, NQP, C) f32 packed features (HBM)
     tri_off: jnp.ndarray   # (K,) i32 first triangle id
     tri_cnt: jnp.ndarray   # (K,) i32 valid triangles (<= C)
     aabb_min: jnp.ndarray  # (K,3) f32
@@ -90,21 +92,23 @@ def build_cluster_pack(flat, tri_p0, tri_e1, tri_e2,
     k_of = np.repeat(np.arange(K), cnt)           # (T,) cluster per tri
     j_of = np.arange(T) - off[k_of]               # (T,) slot in cluster
 
-    feat = np.zeros((K, NF, NQ * max_tris), np.float32)
+    # layout (K, NR, NQP, C): feature row f, quantity band q (padded
+    # 5 -> 8 so the (second-minor, minor) dims are (8, C) tile-aligned
+    # for Mosaic DMA), triangle lane j.  NR = 10 is a free leading dim.
+    feat = np.zeros((K, NR, NQP, max_tris), np.float32)
     rows3 = np.arange(3)
     for q, (a, b) in enumerate(((p0, p1), (p1, p2), (p2, p0))):
-        col = q * max_tris + j_of
-        feat[k_of[:, None], rows3[None, :], col[:, None]] = \
+        feat[k_of[:, None], rows3[None, :], q, j_of[:, None]] = \
             np.cross(a, b).astype(np.float32)
-        feat[k_of[:, None], 3 + rows3[None, :], col[:, None]] = \
+        feat[k_of[:, None], 3 + rows3[None, :], q, j_of[:, None]] = \
             (b - a).astype(np.float32)
-    col = 3 * max_tris + j_of
-    feat[k_of[:, None], 6 + rows3[None, :], col[:, None]] = \
+    feat[k_of[:, None], 6 + rows3[None, :], 3, j_of[:, None]] = \
         n.astype(np.float32)
-    feat[k_of, 9, col] = np.einsum("td,td->t", n, p0).astype(np.float32)
-    col = 4 * max_tris + j_of
-    feat[k_of[:, None], rows3[None, :], col[:, None]] = \
-        n.astype(np.float32)
+    feat[k_of, 9, 3, j_of] = np.einsum("td,td->t", n,
+                                       p0).astype(np.float32)
+    # no separate plane-denominator band: n.d == w0+w1+w2 exactly
+    # (a x b + b x c + c x a = e1 x e2 = n), so the kernel reuses the
+    # side-sum s as the denominator — one fewer contraction.
 
     # per-cluster AABBs via segment reductions over contiguous ranges
     v = np.stack([p0, p1, p2], 1)                 # (T,3,3)
@@ -129,21 +133,33 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
     the loop EXITS as soon as every ray's current best hit is nearer
     than the next cluster's entry bound — exact occlusion culling, the
     TPU analogue of the BVH walker's ordered descent
-    (ref: bvh.cpp:662 near-child-first traversal)."""
+    (ref: bvh.cpp:662 near-child-first traversal).
+
+    The NB clusters of a bundle are evaluated as ONE (G, NB*C) tile
+    batch: the per-cluster feature blocks DMA into adjacent lane bands
+    of the staging buffer, so the side/plane contractions, the one
+    division, the validity masks and the two cross-lane reductions all
+    run once per bundle instead of once per cluster — the epilogue cost
+    (division + 2 reductions, the expensive non-FMA part) is amortized
+    NB-fold."""
     r = rays_ref[0]                  # (G, NF)
     tmax = tmax_ref[0]               # (G, 1)
     n = ncand_ref[0, 0, 0]           # candidates (kernel rounds up to NB)
     nb = (n + NB - 1) // NB          # bundles
     Gr = r.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (Gr, C), 1)
+    NBC = NB * C
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Gr, NBC), 1)
+    lane_loc = lane & (C - 1)        # slot-local triangle lane
+    band = lane >> 7                 # which cluster slot (C = 128)
     big_t = jnp.float32(3.0e38)
 
     def dma(slot, j, i):
         # cand ids are padded/clamped by the wrapper, so fetching the
         # whole bundle unconditionally is safe; cnt=0 masks the compute
         cid = cand_ref[0, 0, i * NB + j]
-        return pltpu.make_async_copy(feat_hbm.at[cid], fbuf.at[slot, j],
-                                     sems.at[slot, j])
+        return pltpu.make_async_copy(
+            feat_hbm.at[cid], fbuf.at[slot, :, :, pl.ds(j * C, C)],
+            sems.at[slot, j])
 
     def start_bundle(slot, i):
         for j in range(NB):
@@ -171,47 +187,59 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
 
         wait_bundle(slot, i)
 
-        # Thin-K contraction as explicit VPU outer-product accumulation:
-        # at K=16 the MXU pads the contraction to 128 (8x wasted passes,
-        # and f32 needs multi-pass bf16 emulation); 25 full-rate f32
-        # madds on (G, C) tiles beat it AND keep exact f32 precision
-        # (no bf16 side-test cancellation — the ADVICE r2 precision
-        # concern).
-        for j in range(NB):
-            F = fbuf[slot, j]                         # (NF, NQ*C)
+        # Thin-K contraction as explicit VPU outer-product accumulation
+        # over the whole (G, NB*C) bundle tile: at K=16 the MXU pads the
+        # contraction to 128 (8x wasted passes, and f32 needs multi-pass
+        # bf16 emulation); 25 full-rate f32 madds on wide tiles beat it
+        # AND keep exact f32 precision (no bf16 side-test cancellation —
+        # the ADVICE r2 precision concern).
+        fb = fbuf[slot]                               # (NF, NQ, NB*C)
 
-            def contract(col0, rows, rcols):
-                acc = None
-                for f, rc in zip(rows, rcols):
-                    term = r[:, rc:rc + 1] * F[f:f + 1, col0:col0 + C]
-                    acc = term if acc is None else acc + term
-                return acc                            # (G, C)
+        def contract(q, rows, rcols):
+            acc = None
+            for f, rc in zip(rows, rcols):
+                term = r[:, rc:rc + 1] * fb[f, q][None, :]
+                acc = term if acc is None else acc + term
+            return acc                                # (G, NB*C)
 
-            e6 = (0, 1, 2, 3, 4, 5)
-            w0 = contract(0 * C, e6, e6)
-            w1 = contract(1 * C, e6, e6)
-            w2 = contract(2 * C, e6, e6)
-            num = contract(3 * C, (6, 7, 8, 9), (6, 7, 8, 9))
-            den = contract(4 * C, (0, 1, 2), (0, 1, 2))
-            t = num / jnp.where(jnp.abs(den) > 1e-12, den,
-                                jnp.where(den >= 0, 1e-12, -1e-12))
-            s = w0 + w1 + w2
-            # sign-agreement via pairwise products (fewer VPU ops than
-            # the 6-compare form; all three pairs needed so a single
-            # zero side can't mask a disagreement between the others)
-            same = ((w0 * w1 >= 0) & (w1 * w2 >= 0) & (w0 * w2 >= 0))
-            cnt = ccnt_ref[0, 0, i * NB + j]
-            ok = (same & (jnp.abs(s) > 1e-12) & (jnp.abs(den) > 1e-12)
-                  & (t > 1e-5) & (t < best_t) & (lane < cnt))
-            t_ok = jnp.where(ok, t, big_t)
-            tmin = jnp.min(t_ok, axis=1, keepdims=True)   # (G,1)
-            upd = tmin < best_t
-            win = (t_ok == tmin) & ok
-            lane_w = jnp.min(jnp.where(win, lane, jnp.int32(2 ** 30)),
-                             axis=1, keepdims=True)
-            prim_new = coff_ref[0, 0, i * NB + j] + lane_w
-            best_t = jnp.where(upd, tmin, best_t)
-            best_prim = jnp.where(upd, prim_new, best_prim)
+        e6 = (0, 1, 2, 3, 4, 5)
+        w0 = contract(0, e6, e6)
+        w1 = contract(1, e6, e6)
+        w2 = contract(2, e6, e6)
+        num = contract(3, (6, 7, 8, 9), (6, 7, 8, 9))
+        # the plane denominator n.d equals the side sum s EXACTLY in
+        # real arithmetic (a x b + b x c + c x a = e1 x e2 = n), so no
+        # separate contraction: t = num / s  (Shevtsov et al. form)
+        s = w0 + w1 + w2
+        t = num / jnp.where(jnp.abs(s) > 1e-12, s,
+                            jnp.where(s >= 0, 1e-12, -1e-12))
+        # sign-agreement via pairwise products (fewer VPU ops than
+        # the 6-compare form; all three pairs needed so a single
+        # zero side can't mask a disagreement between the others)
+        same = ((w0 * w1 >= 0) & (w1 * w2 >= 0) & (w0 * w2 >= 0))
+
+        # per-slot triangle counts / prim offsets broadcast to lanes
+        def per_slot(tab_ref, idx):
+            v = tab_ref[0, 0, idx * NB + 3]
+            for j in range(NB - 2, -1, -1):
+                v = jnp.where(band <= j, tab_ref[0, 0, idx * NB + j], v)
+            return v
+
+        cnt_v = per_slot(ccnt_ref, i)                 # (G, NB*C) i32
+        ok = (same & (jnp.abs(s) > 1e-12)
+              & (t > 1e-5) & (t < best_t) & (lane_loc < cnt_v))
+        t_ok = jnp.where(ok, t, big_t)
+        tmin = jnp.min(t_ok, axis=1, keepdims=True)   # (G,1)
+        upd = tmin < best_t
+        # winner prim id in ONE int min-reduce: any lane at t == tmin is
+        # a valid closest hit; take the smallest global prim id among
+        # them (deterministic)
+        prim_v = per_slot(coff_ref, i) + lane_loc
+        win = (t_ok == tmin) & ok
+        prim_w = jnp.min(jnp.where(win, prim_v, jnp.int32(2 ** 30)),
+                         axis=1, keepdims=True)
+        best_t = jnp.where(upd, tmin, best_t)
+        best_prim = jnp.where(upd, prim_w, best_prim)
 
         # exact early break: bundle i+1 (and all later ones — the list
         # is tnear-sorted) cannot beat best_t for any ray.  Dead rays
@@ -277,7 +305,7 @@ def _run_kernel(feat, cand, coff, ccnt, ctn, ncand, rays, tmax, *,
         out_specs=[vmem((1, G, 1))] * 2,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, NB, NF, NQ * C), jnp.float32),
+            pltpu.VMEM((2, NR, NQP, NB * C), jnp.float32),
             pltpu.SemaphoreType.DMA((2, NB)),
         ],
         interpret=interpret,
@@ -314,37 +342,60 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
 
     wmin = jnp.min(cp.aabb_min, 0) if world_min is None else world_min
     wmax = jnp.max(cp.aabb_max, 0) if world_max is None else world_max
-    key = cluster_lib.sort_key(o, d, wmin, wmax)
+    key = cluster_lib.sort_key6(o, d, wmin, wmax)
     key = jnp.where(t_max > 0.0, key, jnp.int32(0x7FFFFFFF))
-    perm = jnp.argsort(key)
+    # ONE multi-operand sort carries the ray data and its original index
+    # (payloads ride the sort; separate argsort + row gathers are much
+    # slower on TPU)
+    ridx = jnp.arange(Np, dtype=jnp.int32)
+    (_, ox, oy, oz, dx, dy, dz, ts_, perm) = jax.lax.sort(
+        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         t_max, ridx), dimension=0, num_keys=1)
+    os_ = jnp.stack([ox, oy, oz], axis=1)
+    ds_ = jnp.stack([dx, dy, dz], axis=1)
     # inverse permutation via scatter (an argsort of a permutation is
     # just inv[perm[i]] = i — one scatter beats a second full sort)
     inv_perm = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(perm.shape[0], dtype=perm.dtype))
-    os_, ds_, ts_ = o[perm], d[perm], t_max[perm]
 
-    mask, tnear = cluster_lib.group_cull_tnear(
+    # EXACT per-ray slab cull reduced per group (ops/clusters.py
+    # per_ray_cull): a cluster is a candidate iff some live member ray
+    # enters its AABB within [0, t_max].  ~13x fewer candidates than
+    # the interval-arithmetic group cull on diffuse bounce waves
+    # (measured; see BENCH_NOTES round 4).
+    mask, tnear = cluster_lib.per_ray_cull(
         os_, ds_, ts_, cp.aabb_min, cp.aabb_max, G)      # (Gn,K)
     n_cand = jnp.sum(mask, axis=1)
 
     # front-to-back candidate order by conservative entry distance —
-    # the kernel's early-break key (monotone, so the break is exact)
+    # the kernel's early-break key (monotone, so the break is exact).
+    # ONE multi-operand lax.sort carries the cluster id and its packed
+    # (tri_off, tri_cnt) through the sort: per-row take_along_axis /
+    # take gathers on (Gn, MAXC) cost ~55 ms/wave on TPU (measured,
+    # BENCH_NOTES round 4) while sort payloads are ~free.
     big_t = jnp.float32(3.0e38)
     order_key = jnp.where(mask, tnear, big_t)
-    order = jnp.argsort(order_key, axis=1)[:, :MAXC].astype(jnp.int32)
-    ctn = jnp.take_along_axis(order_key, order, axis=1)   # sorted tnear
-    cand_valid = jnp.take_along_axis(mask, order, axis=1)
-    padc = MAXC - order.shape[1]
+    cid_row = jnp.arange(K, dtype=jnp.int32)
+    packed_row = cp.tri_off * jnp.int32(256) + cp.tri_cnt   # cnt <= C < 256
+    ctn, cand, packed = jax.lax.sort(
+        (order_key,
+         jnp.broadcast_to(cid_row, (Gn, K)),
+         jnp.broadcast_to(packed_row, (Gn, K))),
+        dimension=1, num_keys=1)
+    ctn = ctn[:, :MAXC]
+    cand = cand[:, :MAXC]
+    packed = packed[:, :MAXC]
+    padc = MAXC - ctn.shape[1]
     if padc > 0:  # K smaller than a whole number of bundles
-        order = jnp.concatenate(
-            [order, jnp.zeros((Gn, padc), jnp.int32)], axis=1)
+        cand = jnp.concatenate(
+            [cand, jnp.zeros((Gn, padc), jnp.int32)], axis=1)
         ctn = jnp.concatenate(
             [ctn, jnp.full((Gn, padc), big_t)], axis=1)
-        cand_valid = jnp.concatenate(
-            [cand_valid, jnp.zeros((Gn, padc), bool)], axis=1)
-    cand = jnp.clip(order, 0, K - 1)
-    coff = jnp.take(cp.tri_off, cand)
-    ccnt = jnp.where(cand_valid, jnp.take(cp.tri_cnt, cand), 0)
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((Gn, padc), jnp.int32)], axis=1)
+    cand_valid = ctn < big_t
+    coff = packed // 256
+    ccnt = jnp.where(cand_valid, packed % 256, 0)
     ncand = jnp.minimum(n_cand, MAXC).astype(jnp.int32)[:, None]
 
     r6, r8 = cluster_lib.ray_features(os_, ds_)          # (Np,6),(Np,8)

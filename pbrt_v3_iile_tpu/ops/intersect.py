@@ -229,7 +229,7 @@ def _coherence_key(scene, o, d):
 def intersect(scene, o, d, t_max, any_hit: bool = False,
               use_pallas: bool = False, sort: bool = False,
               accel: str = "bvh", time=None, cluster_group: int = 64,
-              cluster_maxc: int = 48) -> Hit:
+              cluster_maxc: int = 192) -> Hit:
     """Full scene intersection: aggregate triangles + analytic spheres.
 
     accel selects the aggregate statically ("bvh" | "kdtree" |
@@ -298,7 +298,7 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
 def occluded(scene, o, d, t_max, use_pallas: bool = False,
              sort: bool = False, accel: str = "bvh",
              time=None, cluster_group: int = 64,
-             cluster_maxc: int = 48) -> jnp.ndarray:
+             cluster_maxc: int = 192) -> jnp.ndarray:
     """Shadow-ray IntersectP equivalent (ref: scene.cpp:56)."""
     return intersect(scene, o, d, t_max, any_hit=True,
                      use_pallas=use_pallas, sort=sort, accel=accel,

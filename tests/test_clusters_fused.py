@@ -48,7 +48,7 @@ def test_pack_build_partitions_triangles():
     n_true = np.cross(oe1[np.asarray(cp2.tri_off)[0]],
                       oe2[np.asarray(cp2.tri_off)[0]])
     np.testing.assert_allclose(
-        np.asarray(cp2.feat[0, 0:3, 4 * cpl.C + 0]), n_true, rtol=1e-5)
+        np.asarray(cp2.feat[0, 6:9, 3, 0]), n_true, rtol=1e-5)
 
 
 @pytest.mark.parametrize("T,N", [(300, 640), (2000, 1280)])
