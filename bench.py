@@ -59,6 +59,12 @@ def _measure():
 
     scene, cam = renderlib.build(sd)
     cfg = renderlib.make_integrator_config(sd)
+    if cfg.accel == "clusters" and not cfg.staged:
+        # production TPU config: compacted wavefront (unbiased budget RR
+        # + coherence sort once per bounce; integrators/path.py
+        # _trace_paths_compact)
+        cfg = cfg._replace(
+            compact_schedule=(1.0, 1.0, 0.5, 0.25, 0.25, 0.125))
     # the intended config, as renderlib.render drives it: staged mode is
     # a host loop over jitted bounce steps — never outer-jitted
     run = renderlib.render_pass_fn(sd, cfg)

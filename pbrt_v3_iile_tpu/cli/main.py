@@ -73,6 +73,9 @@ def main(argv=None):
                     choices=["bvh", "kdtree", "clusters"],
                     help="aggregate override (default: scene file / auto —"
                     " fused clusters on TPU, BVH walker on CPU)")
+    ap.add_argument("--compact", action="store_true",
+                    help="compacted-wavefront path loop (budget RR + "
+                         "per-bounce coherence sort; TPU perf mode)")
     ap.add_argument("--sortRays", action="store_true", dest="sort_rays",
                     help="octant+Morton coherence sort before packet "
                     "traversal (bvh accel only)")
@@ -163,7 +166,8 @@ def main(argv=None):
             sd, spp=args.spp, seed=args.seed,
             checkpoint=args.filmCheckpoint,
             checkpoint_every=args.checkpointEvery,
-            accel=args.accel, sort_rays=args.sort_rays)
+            accel=args.accel, sort_rays=args.sort_rays,
+            compact=args.compact)
         write_output(out, img)
         if args.stats:
             print(json.dumps(stats), file=sys.stderr)

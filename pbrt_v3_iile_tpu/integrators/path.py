@@ -75,6 +75,13 @@ class PathConfig(NamedTuple):
                                       # "clusters" (fused MXU traversal)
                                       # (ref: api.cpp MakeAccelerator)
     cluster_group: int = 64           # fused-kernel rays per group
+    has_spheres: bool = True      # static: scene has analytic spheres;
+                                  # False skips the (N,S) sphere pass in
+                                  # every wave (config factory sets it)
+    compact_schedule: tuple = ()  # per-bounce wave-size fractions for
+                                  # the compacted-wavefront loop ((), =
+                                  # off).  e.g. (1, 1, .5, .25, .25,
+                                  # .125); see _trace_paths_compact
     cluster_maxc: int = 192            # fused-kernel max candidate
                                       # clusters per group (overflow ->
                                       # XLA-walker fallback)
@@ -180,6 +187,11 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
     if beta0 is None:
         beta0 = jnp.ones((N, 3), jnp.float32)
 
+    if (cfg.compact_schedule and not cfg.staged and u_prim is None
+            and cfg.max_depth > 0):
+        return _trace_paths_compact(scene, o0, d0, key, cfg, beta0,
+                                    collect_aux, sample_ctx, time)
+
     L0 = jnp.zeros((N, 3), jnp.float32)
     alive0 = jnp.ones(N, bool)
     spec0 = jnp.zeros(N, bool)
@@ -226,6 +238,127 @@ def trace_paths(scene, o0, d0, key, cfg: PathConfig,
     return L, dict(rays=ray_count)
 
 
+def _trace_paths_compact(scene, o0, d0, key, cfg: PathConfig, beta0,
+                         collect_aux, sample_ctx, time):
+    """Compacted-wavefront bounce loop (the TPU wavefront analogue of
+    the reference's thread-local path loop, ref: path.cpp:81 — but with
+    the wave SHRINKING as paths die).
+
+    Per bounce the whole path state is sorted ONCE by the 6D coherence
+    key with dead lanes last, then sliced to a static per-bounce budget
+    from cfg.compact_schedule.  Before the slice, live rays survive a
+    budget russian roulette with keep-probability p = min(1, .92 B / L)
+    and 1/p reweighting — an unbiased wave-size cap (plain RR whose
+    rate is chosen from the live count; the .92 margin makes
+    survivors > B a ~5-sigma event, and any such overflow lane is
+    counted, not silently dropped).  Radiance is flushed to a
+    pixel-indexed accumulator at every compaction, so truncated lanes
+    keep everything they earned.  The sort ALSO presorts the wave for
+    the fused traversal (intersect/occluded run with presorted=True:
+    no per-wave sort or unsort).
+    """
+    N = o0.shape[0]
+    sched = cfg.compact_schedule
+    sizes = [N]
+    for b in range(1, cfg.max_depth + 1):
+        f = float(sched[min(b, len(sched) - 1)])
+        sizes.append(int(min(N, max(1024, round(N * f / 1024.0) * 1024))))
+
+    out = jnp.zeros((N, 3), jnp.float32)
+    pix = jnp.arange(N, dtype=jnp.int32)      # lane id in the ORIGINAL wave
+    ctx = sample_ctx
+    tm = time
+    carry = (o0, d0, beta0, jnp.zeros((N, 3), jnp.float32),
+             jnp.ones(N, bool), jnp.zeros(N, bool),
+             jnp.ones(N, jnp.float32), jnp.ones(N, jnp.float32),
+             jnp.full(N, -1.0, jnp.float32), jnp.zeros((N, 3), jnp.float32),
+             jnp.zeros(N, bool),
+             jnp.broadcast_to(scene.camera_medium, (N,)).astype(jnp.int32),
+             jnp.zeros((), jnp.int32))
+    aux_t_out = jnp.full(N, -1.0, jnp.float32)
+    aux_n_out = jnp.zeros((N, 3), jnp.float32)
+    dropped = jnp.zeros((), jnp.int32)        # 5-sigma overflow counter
+
+    def resort(carry, pix, ctx, tm, dropped, B, bounce):
+        """Budget-RR (if shrinking) + ONE payload-carrying coherence
+        sort with dead lanes last; slices to B lanes."""
+        (o, d, beta, L, alive, spec, prev_pdf, eta, _at, _an,
+         ghost, med, rc) = carry
+        Ncur = o.shape[0]
+        if B < Ncur:
+            live = jnp.sum(alive).astype(jnp.float32)
+            p = jnp.minimum(1.0, 0.92 * B / jnp.maximum(live, 1.0))
+            u = smplr.ctx_uniform(ctx, key, bounce, smplr.DIM_COMPACT,
+                                  (Ncur,))
+            keep = (~alive) | (u < p)
+            beta = jnp.where((alive & keep)[:, None], beta / p, beta)
+            alive = alive & keep
+        from ..ops import clusters as cluster_lib
+        sk = cluster_lib.sort_key6(o, d, scene.world_min, scene.world_max)
+        sk = jnp.where(alive, sk, jnp.int32(0x7FFFFFFF))
+        flags = (alive.astype(jnp.int32) + 2 * spec.astype(jnp.int32)
+                 + 4 * ghost.astype(jnp.int32))
+        ops = [sk, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+               beta[:, 0], beta[:, 1], beta[:, 2], prev_pdf, eta,
+               pix, med, flags]
+        if ctx is not None:
+            ops.append(ctx.pixel.astype(jnp.int32))
+        if tm is not None:
+            ops.append(tm)
+        res = jax.lax.sort(tuple(ops), dimension=0, num_keys=1)
+        if B < Ncur:
+            # overflow accounting: live lanes past the budget (never in
+            # practice; see docstring)
+            dropped = dropped + jnp.sum(res[14][B:] & 1)
+        res = [r[:B] for r in res]
+        (_, ox, oy, oz, dx, dy, dz, b0_, b1_, b2_, prev_pdf, eta,
+         pix, med, flags) = res[:15]
+        o = jnp.stack([ox, oy, oz], axis=1)
+        d = jnp.stack([dx, dy, dz], axis=1)
+        beta = jnp.stack([b0_, b1_, b2_], axis=1)
+        alive = (flags & 1) > 0
+        spec = (flags & 2) > 0
+        ghost = (flags & 4) > 0
+        ix = 15
+        if ctx is not None:
+            ctx = ctx._replace(pixel=res[ix].astype(jnp.uint32))
+            ix += 1
+        if tm is not None:
+            tm = res[ix]
+        carry = (o, d, beta, jnp.zeros((B, 3), jnp.float32), alive, spec,
+                 prev_pdf, eta, jnp.full(B, -1.0, jnp.float32),
+                 jnp.zeros((B, 3), jnp.float32), ghost, med, rc)
+        return carry, pix, ctx, tm, dropped
+
+    # presort the PRIMARY wave too: every intersect/occluded call in the
+    # whole pass then runs presorted (no internal sort or unsort)
+    carry, pix, ctx, tm, dropped = resort(carry, pix, ctx, tm, dropped,
+                                          N, jnp.int32(0))
+    for b in range(cfg.max_depth + 1):
+        carry = _bounce(scene, carry, jnp.int32(b), key, cfg,
+                        collect_aux and b == 0, sample_ctx=ctx, time=tm,
+                        presorted=True)
+        (o, d, beta, L, alive, spec, prev_pdf, eta, aux_t, aux_n,
+         ghost, med, rc) = carry
+        if b == 0 and collect_aux:
+            # probe G-buffer back in pixel order (lanes are sorted)
+            aux_t_out = aux_t_out.at[pix].set(aux_t)
+            aux_n_out = aux_n_out.at[pix].set(aux_n)
+        # flush radiance so compacted-away lanes keep their earnings
+        out = out.at[pix].add(jnp.where(jnp.isfinite(L), L, 0.0))
+        if b == cfg.max_depth:
+            break
+        carry, pix, ctx, tm, dropped = resort(
+            carry, pix, ctx, tm, dropped, sizes[b + 1], jnp.int32(b))
+
+    out = jnp.where(jnp.isfinite(out), out, 0.0)
+    rays = carry[-1]
+    if collect_aux:
+        return out, dict(distance=aux_t_out, normal=aux_n_out, rays=rays,
+                         compact_overflow=dropped)
+    return out, dict(rays=rays, compact_overflow=dropped)
+
+
 import functools
 
 
@@ -239,7 +372,8 @@ def _staged_step(cfg: PathConfig, collect_aux: bool):
 
 
 def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
-            u_prim=None, sample_ctx=None, time=None):
+            u_prim=None, sample_ctx=None, time=None,
+            presorted: bool = False):
     """One wavefront bounce: intersect -> medium event -> Le -> NEE ->
     BSDF/phase continuation -> RR.  See trace_paths for semantics."""
     (o, d, beta, L, alive, spec, prev_pdf, eta_scale,
@@ -266,7 +400,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                   sort=cfg.sort_rays, accel=cfg.accel,
                                   time=time,
                                   cluster_group=cfg.cluster_group,
-                                  cluster_maxc=cfg.cluster_maxc)
+                                  cluster_maxc=cfg.cluster_maxc,
+                                  spheres=cfg.has_spheres,
+                                  presorted=presorted)
         hit = jax.tree.map(sg, hit)
         with jax.named_scope("interaction"):
             it = isect.make_interaction(scene, o, d, hit, time=time)
@@ -489,7 +625,9 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                      use_pallas=cfg.use_pallas,
                                      accel=cfg.accel, time=time,
                                      cluster_group=cfg.cluster_group,
-                                     cluster_maxc=cfg.cluster_maxc)
+                                     cluster_maxc=cfg.cluster_maxc,
+                                     spheres=cfg.has_spheres,
+                                     presorted=presorted)
             vis = can_nee & (~occ)
             w_l = jnp.where(ls.is_delta, 1.0,
                             smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf))

@@ -84,12 +84,12 @@ def render_probes(scene, positions, normals, key, hemi_size: int = 32,
     )
 
 
-def find_first_nonspecular(scene, o, d, key, max_chase: int = 8,
+def find_first_nonspecular(scene, o, d, key, max_chase: int = 24,
                            use_pallas: bool = False, staged: bool = False,
                            accel: str = "bvh"):
     """Specular chase: follow mirror/glass bounces to the first diffuse
-    hit (ref: iisptrenderrunner.cpp:657-757 find_intersection, 24-bounce
-    specular chase; 8 static iterations cover practical scenes).
+    hit, to the reference's full 24-bounce depth
+    (ref: iisptrenderrunner.cpp:657-757 find_intersection).
 
     staged=True runs the chase loop on the host with one cached jitted
     step (small device programs — required with the pallas path).

@@ -63,10 +63,11 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None,
             volumetric=(kind == "volpath" or has_media),
             grid_media=has_grid,
             use_pallas=use_pallas,
-            staged=use_pallas or accel == "clusters",
+            staged=use_pallas,
             has_hair=has_hair, accel=accel,
             spatial_lights=spatial, sort_rays=sort_rays,
             has_subsurface=has_sss,
+            has_spheres=len(sd.spheres) > 0,
         )
     if kind == "directlighting":
         return pathlib_.PathConfig(
@@ -75,7 +76,7 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None,
             nee_all=(sd.integrator.dl_strategy == "all"),
             direct_only=True,
             use_pallas=use_pallas,
-            staged=use_pallas or accel == "clusters",
+            staged=use_pallas,
             has_hair=has_hair, accel=accel,
         )
     if kind == "whitted":
@@ -83,12 +84,12 @@ def make_integrator_config(sd: apilib.SceneDesc, use_pallas=None,
             max_depth=sd.integrator.max_depth,
             nee=True, nee_all=True, direct_only=True,
             use_pallas=use_pallas,
-            staged=use_pallas or accel == "clusters",
+            staged=use_pallas,
             has_hair=has_hair, accel=accel,
         )
     return pathlib_.PathConfig(max_depth=sd.integrator.max_depth,
                                use_pallas=use_pallas,
-                               staged=use_pallas or accel == "clusters",
+                               staged=use_pallas,
                                has_hair=has_hair, accel=accel)
 
 
@@ -241,7 +242,7 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
            use_pallas: bool = None, use_native_bvh: bool = True,
            max_wave: int = 1 << 16, checkpoint: str = None,
            checkpoint_every: int = 0, report=None, accel: str = None,
-           sort_rays: bool = False):
+           sort_rays: bool = False, compact: bool = False):
     """Full render; returns (image (H,W,3) np.ndarray, stats dict).
 
     Waves are bounded to ~max_wave rays (row chunks) so each device
@@ -275,6 +276,11 @@ def render(sd: apilib.SceneDesc, spp: int = None, seed: int = 0,
 
     cfg = make_integrator_config(sd, use_pallas=use_pallas, accel=accel,
                                  sort_rays=sort_rays)
+    if compact and cfg.accel == "clusters" and not cfg.staged:
+        # compacted-wavefront pipeline (unbiased budget RR; see
+        # integrators/path.py _trace_paths_compact)
+        cfg = cfg._replace(
+            compact_schedule=(1.0, 1.0, 0.5, 0.25, 0.25, 0.125))
     scene, cam = build(sd, use_native_bvh=use_native_bvh,
                        with_clusters=cfg.accel == "clusters")
     H, W = sd.film.y_resolution, sd.film.x_resolution

@@ -317,14 +317,20 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
                              max_candidates: int = MAXC_DEFAULT,
                              world_min=None, world_max=None,
                              fallback=None, interpret: bool = False,
-                             tri_p0=None, tri_e1=None, tri_e2=None) -> Hit:
+                             tri_p0=None, tri_e1=None, tri_e2=None,
+                             presorted: bool = False) -> Hit:
     """Full-scene closest-hit (or any-hit) via the fused cluster kernel.
 
-    Sort -> conservative group cull -> front-to-back candidate lists ->
+    Sort -> exact per-ray cull -> front-to-back candidate lists ->
     Pallas kernel; groups whose candidate count exceeds max_candidates
     fall back to `fallback(o, d, t_alive)` (the XLA walker) for
     exactness.  Returns Hit in the original ray order with BVH-order
-    triangle ids."""
+    triangle ids.
+
+    presorted=True: the caller guarantees rays already arrive
+    coherence-sorted (dead rays last) — the internal sort AND the
+    result unsort are skipped (the compacted-wavefront pipeline sorts
+    the whole path state once per bounce instead)."""
     N = o.shape[0]
     G = group
     pad = (-N) % G
@@ -342,21 +348,25 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
 
     wmin = jnp.min(cp.aabb_min, 0) if world_min is None else world_min
     wmax = jnp.max(cp.aabb_max, 0) if world_max is None else world_max
-    key = cluster_lib.sort_key6(o, d, wmin, wmax)
-    key = jnp.where(t_max > 0.0, key, jnp.int32(0x7FFFFFFF))
-    # ONE multi-operand sort carries the ray data and its original index
-    # (payloads ride the sort; separate argsort + row gathers are much
-    # slower on TPU)
-    ridx = jnp.arange(Np, dtype=jnp.int32)
-    (_, ox, oy, oz, dx, dy, dz, ts_, perm) = jax.lax.sort(
-        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
-         t_max, ridx), dimension=0, num_keys=1)
-    os_ = jnp.stack([ox, oy, oz], axis=1)
-    ds_ = jnp.stack([dx, dy, dz], axis=1)
-    # inverse permutation via scatter (an argsort of a permutation is
-    # just inv[perm[i]] = i — one scatter beats a second full sort)
-    inv_perm = jnp.zeros_like(perm).at[perm].set(
-        jnp.arange(perm.shape[0], dtype=perm.dtype))
+    if presorted:
+        os_, ds_, ts_ = o, d, t_max
+        inv_perm = None
+    else:
+        key = cluster_lib.sort_key6(o, d, wmin, wmax)
+        key = jnp.where(t_max > 0.0, key, jnp.int32(0x7FFFFFFF))
+        # ONE multi-operand sort carries the ray data and its original
+        # index (payloads ride the sort; separate argsort + row gathers
+        # are much slower on TPU)
+        ridx = jnp.arange(Np, dtype=jnp.int32)
+        (_, ox, oy, oz, dx, dy, dz, ts_, perm) = jax.lax.sort(
+            (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             t_max, ridx), dimension=0, num_keys=1)
+        os_ = jnp.stack([ox, oy, oz], axis=1)
+        ds_ = jnp.stack([dx, dy, dz], axis=1)
+        # inverse permutation via scatter (an argsort of a permutation
+        # is just inv[perm[i]] = i — one scatter beats a second sort)
+        inv_perm = jnp.zeros_like(perm).at[perm].set(
+            jnp.arange(perm.shape[0], dtype=perm.dtype))
 
     # EXACT per-ray slab cull reduced per group (ops/clusters.py
     # per_ray_cull): a cluster is a candidate iff some live member ray
@@ -461,6 +471,7 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
         b2 = jnp.where(use, fb.b2, b2)
         valid = jnp.where(ovr, fb.valid, valid)
 
-    unp = lambda x: x[inv_perm][:N]
+    unp = ((lambda x: x[:N]) if presorted else
+           (lambda x: x[inv_perm][:N]))
     return Hit(t=unp(t), prim=unp(prim), b1=unp(b1), b2=unp(b2),
                valid=unp(valid))

@@ -229,7 +229,8 @@ def _coherence_key(scene, o, d):
 def intersect(scene, o, d, t_max, any_hit: bool = False,
               use_pallas: bool = False, sort: bool = False,
               accel: str = "bvh", time=None, cluster_group: int = 64,
-              cluster_maxc: int = 192) -> Hit:
+              cluster_maxc: int = 192, spheres: bool = True,
+              presorted: bool = False) -> Hit:
     """Full scene intersection: aggregate triangles + analytic spheres.
 
     accel selects the aggregate statically ("bvh" | "kdtree" |
@@ -239,10 +240,13 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
     enables object motion blur and statically selects the XLA walker
     (the packet kernel has no keyframe lerp).  cluster_group /
     cluster_maxc are the fused-kernel tunables, carried on PathConfig
-    (no env knobs — SURVEY §5 config plan)."""
+    (no env knobs — SURVEY §5 config plan).  spheres=False statically
+    skips the analytic sphere pass (sphere-free scenes)."""
+    sph = (intersect_spheres if spheres else
+           (lambda scene_, o_, d_, h: h))
     if time is not None:
         hit = intersect_bvh(scene, o, d, t_max, any_hit=any_hit, time=time)
-        return intersect_spheres(scene, o, d, hit)
+        return sph(scene, o, d, hit)
     if accel == "clusters" and getattr(scene, "clusters", None) is not None:
         # fused Pallas cluster traversal (ops/clusters_pallas.py);
         # overflow groups fall back to the packet kernel (on device) or
@@ -267,12 +271,12 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
             group=cluster_group, max_candidates=cluster_maxc,
             world_min=scene.world_min, world_max=scene.world_max,
             interpret=interp, tri_p0=scene.tri_p0, tri_e1=scene.tri_e1,
-            tri_e2=scene.tri_e2)
-        return intersect_spheres(scene, o, d, hit)
+            tri_e2=scene.tri_e2, presorted=presorted)
+        return sph(scene, o, d, hit)
     if accel == "kdtree" and not use_pallas:
         from . import kdtree as kdlib
         hit = kdlib.intersect_kd(scene, o, d, t_max, any_hit=any_hit)
-        return intersect_spheres(scene, o, d, hit)
+        return sph(scene, o, d, hit)
     if use_pallas:
         from . import intersect_pallas
         if sort:
@@ -289,21 +293,22 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
     else:
         hit = intersect_bvh(scene, o, d, t_max, any_hit=any_hit)
     if not any_hit:
-        return intersect_spheres(scene, o, d, hit)
+        return sph(scene, o, d, hit)
     # any-hit: spheres still need testing for occlusion
-    hit2 = intersect_spheres(scene, o, d, hit)
-    return hit2
+    return sph(scene, o, d, hit)
 
 
 def occluded(scene, o, d, t_max, use_pallas: bool = False,
              sort: bool = False, accel: str = "bvh",
              time=None, cluster_group: int = 64,
-             cluster_maxc: int = 192) -> jnp.ndarray:
+             cluster_maxc: int = 192, spheres: bool = True,
+             presorted: bool = False) -> jnp.ndarray:
     """Shadow-ray IntersectP equivalent (ref: scene.cpp:56)."""
     return intersect(scene, o, d, t_max, any_hit=True,
                      use_pallas=use_pallas, sort=sort, accel=accel,
                      time=time, cluster_group=cluster_group,
-                     cluster_maxc=cluster_maxc).valid
+                     cluster_maxc=cluster_maxc, spheres=spheres,
+                     presorted=presorted).valid
 
 
 class Interaction(NamedTuple):

@@ -27,6 +27,7 @@ DIM_MEDIUM_TR = 11     # grid-media shadow ratio tracking steps
 DIM_SSS_PROBE = 12     # BSSRDF probe: axis/channel/radius/phi
 DIM_SSS_EXIT = 13      # BSSRDF exit direction (cosine hemisphere)
 DIM_SSS_NEE = 14       # BSSRDF exit-vertex light sample
+DIM_COMPACT = 15       # wavefront-compaction russian roulette
 
 
 def wave_key(base_key, pass_idx, bounce, purpose):

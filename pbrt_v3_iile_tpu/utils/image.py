@@ -311,8 +311,10 @@ def read_exr(path: str) -> np.ndarray:
         if comp in (2, 3):  # ZIPS/ZIP
             raw = zlib.decompress(payload)
             # undo EXR zip predictor + interleave split
-            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
-            arr = np.cumsum(arr - 128, dtype=np.int64) % 256
+            arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+            # OpenEXR zip predictor: t[i] = t[i-1] + in[i] - 128 with
+            # t[0] = in[0]  (the -128 applies from the SECOND byte on)
+            arr = (np.cumsum(arr - 128) + 128) % 256
             arr = arr.astype(np.uint8)
             half = (len(arr) + 1) // 2
             inter = np.zeros(len(arr), dtype=np.uint8)
@@ -338,8 +340,11 @@ def read_exr(path: str) -> np.ndarray:
                     vals = np.frombuffer(buf, dtype="<u4").astype(np.float32)
                 ci = [n for n, _ in chan_names].index(cname)
                 out[y - y0 + line, :, ci] = vals
-    # reorder B,G,R (alphabetical in file) -> R,G,B if applicable
+    # reorder alphabetical file order -> R,G,B (dropping alpha): both
+    # our own B,G,R layout and OpenEXR RgbaOutputFile's A,B,G,R
     names = [n for n, _ in chan_names]
     if names == ["B", "G", "R"]:
         out = out[:, :, ::-1]
+    elif names == ["A", "B", "G", "R"]:
+        out = out[:, :, 3:0:-1]
     return out.copy()
