@@ -123,7 +123,7 @@ def main(argv=None):
                 p_str = " ".join(f"{v:.6g}" for v in cp.ravel())
                 out.write(
                     f'Shape "curve" "string type" "cylinder" '
-                    f'"point P" [{p_str}] '
+                    f'"point P" [{p_str}] "integer splitdepth" [1] '
                     f'"float width0" [{w0:.6g}] "float width1" [{w1:.6g}]\n')
                 n_curves += 1
             off += k

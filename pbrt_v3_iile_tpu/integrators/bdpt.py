@@ -410,8 +410,10 @@ def trace_bdpt(scene, o0, d0, key, max_depth: int, use_pallas: bool = False,
         e_rev_pm = eb.add(pt, ls.wi, pt["wo"])     # pt scatters backwards
         ng_f1 = vm.face_forward(pt["ng"], pt["wo"])
         o_sh1 = vm.offset_ray_origin(pt["p"], ng_f1, ls.wi)
+        # shadow length from the OFFSET origin (see path.py nee_once)
         sh1 = sb.add(o_sh1, ls.wi,
-                     jnp.where(can1, ls.dist * 0.999, -1.0))
+                     jnp.where(can1, (ls.dist - vm.dot(
+                         o_sh1 - pt["p"], ls.wi)) * 0.999, -1.0))
 
         # ---------- phase 1: s >= 2 geometry ----------
         s_meta = []
@@ -561,7 +563,8 @@ def trace_bdpt(scene, o0, d0, key, max_depth: int, use_pallas: bool = False,
             ng_q = vm.face_forward(qs["ng"], qs["wo"])
             o_sh = vm.offset_ray_origin(qs["p"], ng_q, sw["wi"])
             sh = sb.add(o_sh, sw["wi"],
-                        jnp.where(can, sw["dist"] * 0.999, -1.0))
+                        jnp.where(can, (sw["dist"] - vm.dot(
+                            o_sh - qs["p"], sw["wi"])) * 0.999, -1.0))
             t1_meta.append(dict(s=s_, qs=qs, sw=sw, can=can,
                                 e=(e_fq, e_rqm), sh=sh))
         eb.run()

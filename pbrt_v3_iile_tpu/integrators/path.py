@@ -618,8 +618,18 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                              vm.offset_ray_origin(it.p, ng_f, ls.wi)) \
                 if cfg.volumetric else \
                 vm.offset_ray_origin(it.p, ng_f, ls.wi)
+            # shadow length measured from the OFFSET origin: the
+            # scale-relative offset can move the origin a large
+            # absolute distance toward the light, and an unadjusted
+            # ls.dist*0.999 then includes the emitter itself (area-
+            # sphere NEE lost ~35% of its samples to self-occlusion on
+            # killeroo; the reference's SpawnRayTo offsets both
+            # endpoints, interaction.h)
+            p_sh0 = jnp.where(scatter[:, None], p_med, it.p) \
+                if cfg.volumetric else it.p
+            d_off = vm.dot(o_sh - p_sh0, ls.wi)
             # only candidate rays pay for the shadow traversal
-            sh_tmax = jnp.where(can_nee, ls.dist * 0.999, -1.0)
+            sh_tmax = jnp.where(can_nee, (ls.dist - d_off) * 0.999, -1.0)
             with jax.named_scope("shadow"):
                 occ = isect.occluded(scene, o_sh, ls.wi, sh_tmax,
                                      use_pallas=cfg.use_pallas,
@@ -913,7 +923,10 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                 can_x = enter_ok & (lsx.pdf > 0.0) & (cos_lx > 0.0) & \
                     (vm.luminance(lsx.li) > 0.0) & (scene.n_lights > 0)
                 o_shx = vm.offset_ray_origin(pit.p, nf_exit, lsx.wi)
-                shx_tmax = jnp.where(can_x, lsx.dist * 0.999, -1.0)
+                shx_tmax = jnp.where(
+                    can_x,
+                    (lsx.dist - vm.dot(o_shx - pit.p, lsx.wi)) * 0.999,
+                    -1.0)
                 with jax.named_scope("bssrdf_shadow"):
                     occ_x = isect.occluded(scene, o_shx, lsx.wi, shx_tmax,
                                            use_pallas=cfg.use_pallas,

@@ -93,7 +93,9 @@ def _camera_pass(scene, o0, d0, key, max_depth, use_pallas):
         can = alive & bsdflib.has_nonspecular(params) & (ls.pdf > 0.0) & \
             (vm.luminance(ls.li) > 0.0) & (scene.n_lights > 0)
         o_sh = vm.offset_ray_origin(it.p, ng_f, ls.wi)
-        sh_tmax = jnp.where(can, ls.dist * 0.999, -1.0)
+        # shadow length from the OFFSET origin (see path.py nee_once)
+        sh_tmax = jnp.where(
+            can, (ls.dist - vm.dot(o_sh - it.p, ls.wi)) * 0.999, -1.0)
         occ = isect.occluded(scene, o_sh, ls.wi, sh_tmax,
                              use_pallas=use_pallas)
         contrib = beta * f_l * ls.li * (cos_l / jnp.maximum(

@@ -51,100 +51,230 @@ class PtexFile:
         self.faces = []                              # list of (rv,ru,C) f32
 
 
-def write_ptx(path: str, pf: PtexFile, datatype: int = 3):
-    """Serialize in the Ptex v1 container layout (see module docstring)."""
-    F = len(pf.faces)
-    C = pf.nchannels
-    fi = bytearray()
-    for f in range(F):
-        fi += struct.pack("<bbHi4iI", int(pf.res[f, 0]), int(pf.res[f, 1]),
-                          0, 0, *(int(x) for x in pf.adjfaces[f]),
-                          int(pf.adjedges[f]))
-    fi_z = zlib.compress(bytes(fi))
-
+def _conv_out(datatype):
     np_dt = _DT_NP[datatype]
     if datatype == 0:
-        conv = lambda a: np.clip(a * 255.0 + 0.5, 0, 255).astype(np_dt)
-    elif datatype == 1:
-        conv = lambda a: np.clip(a * 65535.0 + 0.5, 0, 65535).astype(np_dt)
+        return lambda a: np.clip(a * 255.0 + 0.5, 0, 255).astype(np_dt)
+    if datatype == 1:
+        return lambda a: np.clip(a * 65535.0 + 0.5, 0, 65535).astype(np_dt)
+    return lambda a: a.astype(np_dt)
+
+
+def _diff_encode(buf: bytes, datatype: int) -> bytes:
+    """PtexUtils::encodeDifference: in-place d[i] -= d[i-1] over the
+    integer type's units (u8/u16 only)."""
+    dt = np.uint8 if datatype == 0 else np.uint16
+    a = np.frombuffer(buf, dt).astype(np.int64)
+    d = np.empty_like(a)
+    d[0] = a[0]
+    d[1:] = a[1:] - a[:-1]
+    return (d % (256 if datatype == 0 else 65536)).astype(dt).tobytes()
+
+
+def _diff_decode(buf: bytes, datatype: int) -> bytes:
+    dt = np.uint8 if datatype == 0 else np.uint16
+    a = np.frombuffer(buf, dt).astype(np.int64)
+    return (np.cumsum(a) % (256 if datatype == 0 else 65536)
+            ).astype(dt).tobytes()
+
+
+_ENC_CONSTANT, _ENC_ZIPPED, _ENC_DIFFZIPPED, _ENC_TILED = 0, 1, 2, 3
+_TILE_BYTES = 1 << 16          # Ptex tiles faces larger than 64 KiB
+
+
+def _encode_face(texels: bytes, ures, vres, pixelsize, datatype):
+    """-> (fdh_encoding, blockdata) for one face at one level."""
+    if len(texels) <= _TILE_BYTES:
+        if datatype in (0, 1):
+            return _ENC_DIFFZIPPED, zlib.compress(
+                _diff_encode(texels, datatype))
+        return _ENC_ZIPPED, zlib.compress(texels)
+    # tiled: split into tiles of ~TILE_BYTES, row-major over tiles
+    tlog_u, tlog_v = int(np.log2(ures)), int(np.log2(vres))
+    while (1 << (tlog_u + tlog_v)) * pixelsize > _TILE_BYTES:
+        if tlog_v >= tlog_u:
+            tlog_v -= 1
+        else:
+            tlog_u -= 1
+    tu, tv = 1 << tlog_u, 1 << tlog_v
+    ntu, ntv = ures // tu, vres // tv
+    arr = np.frombuffer(texels, np.uint8).reshape(vres, ures * pixelsize)
+    tile_blocks = []
+    fdhs = []
+    for tj in range(ntv):
+        for ti in range(ntu):
+            tile = arr[tj * tv:(tj + 1) * tv,
+                       ti * tu * pixelsize:(ti + 1) * tu * pixelsize]
+            enc, blk = _encode_face(tile.tobytes(), tu, tv, pixelsize,
+                                    datatype)
+            fdhs.append(len(blk) | (enc << 30))
+            tile_blocks.append(blk)
+    theader_z = zlib.compress(
+        struct.pack(f"<{len(fdhs)}I", *fdhs))
+    data = (struct.pack("<bbI", tlog_u, tlog_v, len(theader_z))
+            + theader_z + b"".join(tile_blocks))
+    return _ENC_TILED, data
+
+
+def _decode_face(enc, block: bytes, ures, vres, pixelsize, datatype):
+    """-> raw texel bytes (vres rows of ures pixels)."""
+    n = ures * vres * pixelsize
+    if enc == _ENC_CONSTANT:
+        px = block[:pixelsize]
+        return px * (ures * vres)
+    if enc == _ENC_ZIPPED:
+        raw = zlib.decompress(block)
+    elif enc == _ENC_DIFFZIPPED:
+        raw = _diff_decode(zlib.decompress(block), datatype)
+    elif enc == _ENC_TILED:
+        tlog_u, tlog_v, ths = struct.unpack_from("<bbI", block, 0)
+        pos = 6
+        theader = zlib.decompress(block[pos:pos + ths])
+        pos += ths
+        fdhs = np.frombuffer(theader, "<u4")
+        tu, tv = 1 << tlog_u, 1 << tlog_v
+        ntu, ntv = ures // tu, vres // tv
+        if len(fdhs) != ntu * ntv:
+            raise ValueError("ptex: tile header count mismatch")
+        out = np.zeros((vres, ures * pixelsize), np.uint8)
+        for idx, fdh in enumerate(fdhs):
+            bs = int(fdh) & 0x3FFFFFFF
+            tenc = int(fdh) >> 30
+            traw = _decode_face(tenc, block[pos:pos + bs], tu, tv,
+                                pixelsize, datatype)
+            pos += bs
+            tj, ti = divmod(idx, ntu)
+            out[tj * tv:(tj + 1) * tv,
+                ti * tu * pixelsize:(ti + 1) * tu * pixelsize] = \
+                np.frombuffer(traw, np.uint8).reshape(
+                    tv, tu * pixelsize)
+        raw = out.tobytes()
     else:
-        conv = lambda a: a.astype(np_dt)
+        raise ValueError(f"ptex: unknown face encoding {enc}")
+    if len(raw) != n:
+        raise ValueError("ptex: face data size mismatch")
+    return raw
+
+
+def write_ptx(path: str, pf: PtexFile, datatype: int = 3):
+    """Serialize in the Ptex v1 container layout: 56-byte header,
+    zip-deflated FaceInfo records (Res + adjedges + flags + adjfaces[4],
+    20 bytes each), zip-deflated const data, raw LevelInfo array, and
+    one level of per-face data blocks behind a zip-deflated
+    FaceDataHeader table — the layout PtexReader expects
+    (ref: src/textures/ptex.cpp via the ext Ptex library's
+    PtexReader::readFaceInfo/readLevel)."""
+    F = len(pf.faces)
+    C = pf.nchannels
+    conv = _conv_out(datatype)
+    pixelsize = C * _DT_SIZE[datatype]
+
+    fi = bytearray()
+    for f in range(F):
+        fi += struct.pack("<bbBB4i", int(pf.res[f, 0]), int(pf.res[f, 1]),
+                          int(pf.adjedges[f]) & 0xFF, 0,
+                          *(int(x) for x in pf.adjfaces[f]))
+    fi_z = zlib.compress(bytes(fi))
     const_z = zlib.compress(conv(pf.const.astype(np.float32)).tobytes())
 
-    level0 = bytearray()
-    offs = []
-    for face in pf.faces:
-        offs.append(len(level0))
-        level0 += conv(np.asarray(face, np.float32)).tobytes()
-    level0_z = zlib.compress(bytes(level0))
-    li = struct.pack(f"<{F}q", *offs) if F else b""
-    li_z = zlib.compress(li)
+    fdhs = []
+    blocks = []
+    for f in range(F):
+        ures, vres = 1 << int(pf.res[f, 0]), 1 << int(pf.res[f, 1])
+        texels = conv(np.asarray(pf.faces[f], np.float32)).tobytes()
+        enc, blk = _encode_face(texels, ures, vres, pixelsize, datatype)
+        fdhs.append(len(blk) | (enc << 30))
+        blocks.append(blk)
+    lvl_header_z = zlib.compress(struct.pack(f"<{F}I", *fdhs))
+    lvl_data = lvl_header_z + b"".join(blocks)
+    levelinfo = struct.pack("<QII", len(lvl_data), len(lvl_header_z), F)
 
     with open(path, "wb") as f:
         f.write(struct.pack("<IIIIiHHI", _MAGIC, 1, pf.meshtype, datatype,
                             pf.alphachan, C, 1, F))
         f.write(struct.pack("<IIIIQII", 0, len(fi_z), len(const_z),
-                            len(li_z), len(level0_z), 0, 0))
+                            len(levelinfo), len(lvl_data), 0, 0))
         f.write(fi_z)
         f.write(const_z)
-        f.write(li_z)
-        f.write(level0_z)
+        f.write(levelinfo)
+        f.write(lvl_data)
 
 
 def read_ptx(path: str) -> PtexFile:
-    """Parse a .ptx container (level-0 texels only; coarser levels are
-    rebuilt on demand by the texture pyramid)."""
+    """Parse a Ptex v1 .ptx container (level-0 texels only; coarser
+    levels are rebuilt on demand by the texture pyramid).  Handles the
+    constant / zipped / diff-zipped / tiled face encodings of the real
+    format."""
     with open(path, "rb") as f:
-        head = f.read(28)
-        if len(head) < 28:
+        head = f.read(24)
+        if len(head) < 24:
             raise ValueError(f"{path}: truncated ptex header")
         magic, version, meshtype, datatype, alphachan, nchan, nlevels, F = \
-            struct.unpack("<IIIIiHHI", head)
+            struct.unpack("<IIIIiHHI", head + f.read(4))
         if magic != _MAGIC:
             raise ValueError(f"{path}: not a Ptex file (magic {magic:#x})")
         if version != 1 or datatype not in _DT_SIZE:
             raise ValueError(f"{path}: unsupported ptex version/datatype")
-        exth, fi_zs, const_zs, li_zs, lvl_zs, md_zs, md_ms = \
+        exth, fi_zs, const_zs, li_s, lvl_s, md_zs, md_ms = \
             struct.unpack("<IIIIQII", f.read(32))
         f.read(exth)
         fi = zlib.decompress(f.read(fi_zs))
         const_raw = zlib.decompress(f.read(const_zs))
-        li = zlib.decompress(f.read(li_zs))
-        level0 = zlib.decompress(f.read(lvl_zs))
+        li = f.read(li_s)
+        leveldata = f.read(lvl_s)
 
     pf = PtexFile()
     pf.meshtype = meshtype
     pf.nchannels = nchan
     pf.alphachan = alphachan
-    rec = struct.calcsize("<bbHi4iI")
+    rec = 20
     if len(fi) != F * rec:
-        raise ValueError(f"{path}: face-info block size mismatch")
+        raise ValueError(f"{path}: face-info block size mismatch "
+                         f"({len(fi)} != {F * rec})")
     pf.res = np.zeros((F, 2), np.int32)
     pf.adjfaces = np.zeros((F, 4), np.int32)
     pf.adjedges = np.zeros(F, np.uint32)
+    flags = np.zeros(F, np.uint8)
     for i in range(F):
-        vals = struct.unpack_from("<bbHi4iI", fi, i * rec)
+        vals = struct.unpack_from("<bbBB4i", fi, i * rec)
         pf.res[i] = vals[0], vals[1]
+        pf.adjedges[i] = vals[2]
+        flags[i] = vals[3]
         pf.adjfaces[i] = vals[4:8]
-        pf.adjedges[i] = vals[8]
 
     np_dt = _DT_NP[datatype]
     scale = {0: 1 / 255.0, 1: 1 / 65535.0}.get(datatype, 1.0)
     const = np.frombuffer(const_raw, np_dt).astype(np.float32) * scale
     pf.const = const.reshape(F, nchan) if F else const.reshape(0, nchan)
 
-    offs = np.frombuffer(li, "<i8") if F else np.zeros(0, np.int64)
-    dt_size = _DT_SIZE[datatype]
+    if nlevels < 1 or len(li) < 16:
+        raise ValueError(f"{path}: missing level info")
+    lvl_size, lvl_hsize, lvl_F = struct.unpack_from("<QII", li, 0)
+    header_z = leveldata[:lvl_hsize]
+    fdhs = np.frombuffer(zlib.decompress(header_z), "<u4")
+    if len(fdhs) != lvl_F:
+        raise ValueError(f"{path}: level-0 header count mismatch")
+    pixelsize = nchan * _DT_SIZE[datatype]
+    pos = lvl_hsize
     pf.faces = []
     for i in range(F):
-        ru, rv = 1 << int(pf.res[i, 0]), 1 << int(pf.res[i, 1])
-        n = ru * rv * nchan
-        start = int(offs[i]) * 1  # byte offsets recorded directly
-        raw = level0[start:start + n * dt_size]
-        if len(raw) != n * dt_size:
-            raise ValueError(f"{path}: face {i} texel data out of range")
+        ures, vres = 1 << int(pf.res[i, 0]), 1 << int(pf.res[i, 1])
+        if i < lvl_F:
+            bs = int(fdhs[i]) & 0x3FFFFFFF
+            enc = int(fdhs[i]) >> 30
+        else:
+            bs, enc = 0, _ENC_CONSTANT
+        if bs == 0 or (flags[i] & 1):
+            # constant face: fill from const data
+            face = np.broadcast_to(pf.const[i], (vres, ures, nchan))
+            pf.faces.append(np.ascontiguousarray(face, np.float32))
+            pos += bs
+            continue
+        raw = _decode_face(enc, leveldata[pos:pos + bs], ures, vres,
+                           pixelsize, datatype)
+        pos += bs
         face = (np.frombuffer(raw, np_dt).astype(np.float32) * scale)
-        pf.faces.append(face.reshape(rv, ru, nchan))
+        pf.faces.append(face.reshape(vres, ures, nchan))
     return pf
 
 

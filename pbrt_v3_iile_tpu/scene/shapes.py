@@ -280,15 +280,28 @@ def _bezier_eval(cp, t):
     return p, d
 
 
-def _tessellate_curve(ps: ParamSet, n_s: int = 16, n_tube: int = 6):
+def _tessellate_curve(ps: ParamSet, n_s: int = None, n_tube: int = None):
     """Cubic Bezier curve segments (ref: src/shapes/curve.cpp). The
     reference intersects the curve analytically per-ray; here each
     segment is diced: 'cylinder' curves become tubes, 'flat'/'ribbon'
     become two-sided ribbons oriented by a rotation-minimizing frame
-    (or the given ribbon normals)."""
+    (or the given ribbon normals).
+
+    Dicing resolution follows the curve's "splitdepth" parameter (the
+    reference's recursive-split budget, curve.cpp CreateCurveShape
+    default 3): n_s = 2^splitdepth subsegments, 6-sided tubes at
+    splitdepth >= 3, 3-sided below.  Hair assets (cyhair2pbrt emits
+    splitdepth 1) thus cost 12 triangles per Bezier segment instead of
+    192 — the geometry-amplification fix for 10k+ strand grooms
+    (BENCH_NOTES round 4 hair stress test)."""
     cps = ps.find_points("P")
     if cps is None or cps.shape[0] < 4:
         return None
+    sd_ = int(ps.find_one_int("splitdepth", 4))
+    if n_s is None:
+        n_s = max(1, 1 << sd_)
+    if n_tube is None:
+        n_tube = 6 if sd_ >= 3 else 3
     ctype = ps.find_one_string("type", "flat")
     w0 = ps.find_one_float("width", 1.0)
     width0 = ps.find_one_float("width0", w0)

@@ -120,3 +120,49 @@ WorldEnd
     right = img[:, -w // 3:]    # x > 0 half: face 1 (blue)
     assert left[..., 0].mean() > 3.0 * left[..., 2].mean()
     assert right[..., 2].mean() > 3.0 * right[..., 0].mean()
+
+
+def test_ptx_tiled_roundtrip(tmp_path):
+    """A 256x256 f32 face (768 KB) exceeds the 64 KiB tile threshold and
+    must round-trip through the enc_tiled face layout of the Ptex v1
+    container (the real format's big-face path)."""
+    from pbrt_v3_iile_tpu.scene import ptex as ptexlib
+    import numpy as np
+
+    pf = ptexlib.PtexFile()
+    pf.nchannels = 3
+    pf.res = np.asarray([[8, 8]], np.int32)
+    pf.adjfaces = np.full((1, 4), -1, np.int32)
+    pf.adjedges = np.zeros(1, np.uint32)
+    r = 256
+    u = np.linspace(0, 1, r)[None, :, None]
+    v = np.linspace(0, 1, r)[:, None, None]
+    face = np.concatenate([u + 0 * v, v + 0 * u, 0.5 * (u + v)],
+                          axis=-1).astype(np.float32)
+    pf.faces = [face]
+    pf.const = face.mean(axis=(0, 1))[None]
+    path = str(tmp_path / "big.ptx")
+    ptexlib.write_ptx(path, pf)
+    pf2 = ptexlib.read_ptx(path)
+    np.testing.assert_allclose(pf2.faces[0], face, rtol=0, atol=1e-6)
+
+
+def test_ptx_u8_diffzipped_roundtrip(tmp_path):
+    """u8 faces use the diff-zipped encoding (PtexUtils
+    encodeDifference); values must survive the delta coding."""
+    from pbrt_v3_iile_tpu.scene import ptex as ptexlib
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    pf = ptexlib.PtexFile()
+    pf.nchannels = 3
+    pf.res = np.asarray([[4, 3]], np.int32)
+    pf.adjfaces = np.full((1, 4), -1, np.int32)
+    pf.adjedges = np.zeros(1, np.uint32)
+    face = rng.uniform(0, 1, (8, 16, 3)).astype(np.float32)
+    pf.faces = [face]
+    pf.const = face.mean(axis=(0, 1))[None]
+    path = str(tmp_path / "u8.ptx")
+    ptexlib.write_ptx(path, pf, datatype=0)
+    pf2 = ptexlib.read_ptx(path)
+    np.testing.assert_allclose(pf2.faces[0], face, atol=1.0 / 255 + 1e-6)
