@@ -367,7 +367,10 @@ def render_iile(sd, net_vars=None, seed: int = 0,
              else "bvh")
     if accel == "clusters":
         use_pallas = False
-    staged = bool(use_pallas) or accel == "clusters"
+    # scan-mode probes: one device program per probe wave (the staged
+    # host loop was required when the cluster path forced staged mode;
+    # measured ~26 ms relay sync floor per staged dispatch)
+    staged = bool(use_pallas)
     # ---------- indirect ----------
     tasks = schedlib.compute_schedule(W, H, indirect_tasks,
                                       radius_start=radius_start)
@@ -389,7 +392,11 @@ def render_iile(sd, net_vars=None, seed: int = 0,
     dcfg = pathlib_.PathConfig(
         max_depth=sd.integrator.max_depth, nee=True, nee_all=True,
         direct_only=True, use_pallas=use_pallas, staged=staged,
-        accel=accel)
+        accel=accel,
+        # direct-only paths die after one non-specular bounce: shrink
+        # the wave aggressively (unbiased budget RR, path.py)
+        compact_schedule=(1.0, 0.5, 0.25, 0.25) if accel == "clusters"
+        else ())
     dfn_raw = renderlib.render_pass_fn(sd, dcfg)
     dfn = dfn_raw if staged else jax.jit(dfn_raw, static_argnums=(4,))
     dir_film = filmlib.new_film(H, W)

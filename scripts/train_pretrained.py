@@ -3,8 +3,9 @@
 The reference workflow (render_reference -> main_train.py ->
 iispt_model.tch, ref: tools/training_batch_generate.py, ml/config.py:1)
 run on-device: probe G-buffers + high-spp hemispherical ground truth
-from the atrium interior + killeroo + a cornell-style box, trained with
-the standard recipe (Adam 6e-5, L1, batch 32).
+from 3 randomized interiors (scripts/make_interiors.py) + killeroo + a
+cornell-style box, trained with the standard recipe (Adam 6e-5, L1,
+batch 32).  The atrium interior is HELD OUT for quality evaluation.
 
 Ground-truth accumulation loops on the HOST (one moderate device
 program per 1spp probe render) — the axon TPU worker crashes under
@@ -120,7 +121,9 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         ROOT, "pbrt_v3_iile_tpu", "ml", "pretrained",
         "iispt_pretrained.npz"))
-    ap.add_argument("--scenes", default="atrium,killeroo,box")
+    ap.add_argument("--scenes",
+                    default="interior_v1,interior_v2,interior_v3,"
+                            "killeroo,box")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -139,6 +142,23 @@ def main():
         sd = apilib.load_scene(os.path.join(ROOT, "scenes", "atrium.pbrt"))
         sd.film.x_resolution = sd.film.y_resolution = 384
         raws += gen_scene_examples("atrium", sd, args.grid, args.reps,
+                                   args.gt_spp, args.hemi, args.workdir,
+                                   accel)
+    for name in wanted:
+        # randomized interiors (scripts/make_interiors.py) — the
+        # multi-scene corpus; atrium stays OUT as the held-out
+        # quality-evaluation interior
+        if not name.startswith("interior_"):
+            continue
+        path = os.path.join(ROOT, "scenes", f"{name}.pbrt")
+        if not os.path.exists(path):
+            import subprocess
+            subprocess.run([sys.executable,
+                            os.path.join(ROOT, "scripts",
+                                         "make_interiors.py"), "3"],
+                           check=True)
+        sd = apilib.load_scene(path)
+        raws += gen_scene_examples(name, sd, args.grid, args.reps,
                                    args.gt_spp, args.hemi, args.workdir,
                                    accel)
     if "killeroo" in wanted:
