@@ -434,8 +434,10 @@ def trace_bdpt(scene, o0, d0, key, max_depth: int, use_pallas: bool = False,
             e_rqm = eb.add(qs, dir_qp, qs["wo"])
             ng_q = vm.face_forward(qs["ng"], qs["wo"])
             o_sh2 = vm.offset_ray_origin(qs["p"], ng_q, dir_qp)
+            # connection length from the OFFSET origin (see path.py)
             sh2 = sb.add(o_sh2, dir_qp,
-                         jnp.where(both, dist * 0.997, -1.0))
+                         jnp.where(both, (dist - vm.dot(
+                             o_sh2 - qs["p"], dir_qp)) * 0.997, -1.0))
             s_meta.append(dict(s=s, qs=qs, both=both, d2=d2, dist=dist,
                                dir_qp=dir_qp, e=(e_fq, e_fp, e_rpm, e_rqm),
                                sh=sh2))
