@@ -269,7 +269,29 @@ def sort_key6(o, d, world_min, world_max, obits: int = 8,
     return key
 
 
+def per_ray_cull_bits(o, d, t_alive, amin, amax, group, sub,
+                      chunk_groups=64):
+    """per_ray_cull + per-SUBGROUP need bitmasks.
+
+    Returns (need (Gn,K), tnear (Gn,K), subbits (Gn,K) int32): bit j of
+    subbits[g,k] is set iff some live ray of subgroup j (rows
+    j*sub..(j+1)*sub-1 of group g) enters cluster k.  The fused kernel
+    skips a subgroup's (sub, NB*C) tile batch when none of the bundle's
+    clusters carry its bit (pl.when batch skipping) — the measured
+    candidate UNION of a 64-ray group is ~3x any 8-ray subgroup's, so
+    most batches skip."""
+    return _per_ray_cull_impl(o, d, t_alive, amin, amax, group, sub,
+                              chunk_groups)
+
+
 def per_ray_cull(o, d, t_alive, amin, amax, group, chunk_groups=64):
+    need, tnear, _ = _per_ray_cull_impl(o, d, t_alive, amin, amax, group,
+                                        group, chunk_groups)
+    return need, tnear
+
+
+def _per_ray_cull_impl(o, d, t_alive, amin, amax, group, sub,
+                       chunk_groups=64):
     """EXACT per-ray slab cull, reduced per group.
 
     o, d: (N,3) sorted rays, N divisible by `group`.  Returns
@@ -327,12 +349,17 @@ def per_ray_cull(o, d, t_alive, amin, amax, group, chunk_groups=64):
         need = jnp.any(hit, axis=1)                         # (B,K)
         tnear = jnp.min(jnp.where(hit, jnp.maximum(tn, 0.0), big),
                         axis=1)                             # (B,K)
-        return None, (need, tnear)
+        nsg = G // sub
+        hs = jnp.any(hit.reshape(B, nsg, sub, K), axis=2)   # (B,nsg,K)
+        shift = (1 << jnp.arange(nsg, dtype=jnp.int32))[None, :, None]
+        bits = jnp.sum(hs.astype(jnp.int32) * shift, axis=1)  # (B,K)
+        return None, (need, tnear, bits)
 
-    _, (need, tnear) = jax.lax.scan(step, None, (og, dg, tg))
+    _, (need, tnear, bits) = jax.lax.scan(step, None, (og, dg, tg))
     need = need.reshape(S * B, K)[:Gn]
     tnear = tnear.reshape(S * B, K)[:Gn]
-    return need, tnear
+    bits = bits.reshape(S * B, K)[:Gn]
+    return need, tnear, bits
 
 
 def _group_cull(o, d, t_alive, amin, amax, group):

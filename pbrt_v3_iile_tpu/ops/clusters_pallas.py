@@ -124,9 +124,10 @@ def build_cluster_pack(flat, tri_p0, tri_e1, tri_e2,
 
 
 def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
-                           ncand_ref, rays_ref, tmax_ref, feat_hbm,
-                           t_out, prim_out,
-                           fbuf, sems, *, any_hit: bool, maxc: int):
+                           subm_ref, ncand_ref, rays_ref, tmax_ref,
+                           feat_hbm, t_out, prim_out,
+                           fbuf, bt_ref, bp_ref, sems, *, any_hit: bool,
+                           maxc: int, sub: int):
     """One grid program = one ray group vs its candidate clusters.
 
     Candidates arrive sorted by conservative entry distance (ctn_ref);
