@@ -85,6 +85,9 @@ class PathConfig(NamedTuple):
     cluster_maxc: int = 192            # fused-kernel max candidate
                                       # clusters per group (overflow ->
                                       # XLA-walker fallback)
+    cluster_sub: int = 8          # fused-kernel subgroup rows for
+                                  # pl.when batch skipping (= group
+                                  # disables the masking)
 
 
 def _hg_p(cos_theta, g):
@@ -401,6 +404,7 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                   time=time,
                                   cluster_group=cfg.cluster_group,
                                   cluster_maxc=cfg.cluster_maxc,
+                                  cluster_sub=cfg.cluster_sub,
                                   spheres=cfg.has_spheres,
                                   presorted=presorted)
         hit = jax.tree.map(sg, hit)
@@ -636,6 +640,7 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                      accel=cfg.accel, time=time,
                                      cluster_group=cfg.cluster_group,
                                      cluster_maxc=cfg.cluster_maxc,
+                                  cluster_sub=cfg.cluster_sub,
                                      spheres=cfg.has_spheres,
                                      presorted=presorted)
             vis = can_nee & (~occ)
@@ -842,7 +847,8 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                          use_pallas=cfg.use_pallas,
                                          accel=cfg.accel, time=time,
                                          cluster_group=cfg.cluster_group,
-                                         cluster_maxc=cfg.cluster_maxc)
+                                         cluster_maxc=cfg.cluster_maxc,
+                                  cluster_sub=cfg.cluster_sub)
                 pit = isect.make_interaction(scene, base, p_dir, ph,
                                              time=time)
                 # differentiable mode: probe geometry frozen like the
@@ -932,7 +938,8 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                            use_pallas=cfg.use_pallas,
                                            accel=cfg.accel, time=time,
                                            cluster_group=cfg.cluster_group,
-                                           cluster_maxc=cfg.cluster_maxc)
+                                           cluster_maxc=cfg.cluster_maxc,
+                                  cluster_sub=cfg.cluster_sub)
                 ray_count = ray_count + jnp.sum(can_x)
                 w_mis_x = jnp.where(
                     lsx.is_delta, 1.0,

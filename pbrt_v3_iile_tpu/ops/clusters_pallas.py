@@ -58,6 +58,11 @@ NB = 4           # clusters tested per loop iteration (amortizes the
                  # DMA-latency + loop-overhead floor over 4x the work)
 G_DEFAULT = 64   # rays per group (full-pass sweep optimum)
 MAXC_DEFAULT = 192
+SUB_DEFAULT = 8  # rays per subgroup for pl.when batch skipping: a
+                 # bundle's (sub, NB*C) tile is only evaluated for
+                 # subgroups whose cull bit is set — the candidate
+                 # union of a 64-ray group is ~3x any 8-ray subgroup's
+                 # (scripts/stats_subgroup.py), so most tiles skip
 
 
 class ClusterPack(NamedTuple):
@@ -136,23 +141,32 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
     TPU analogue of the BVH walker's ordered descent
     (ref: bvh.cpp:662 near-child-first traversal).
 
-    The NB clusters of a bundle are evaluated as ONE (G, NB*C) tile
-    batch: the per-cluster feature blocks DMA into adjacent lane bands
-    of the staging buffer, so the side/plane contractions, the one
-    division, the validity masks and the two cross-lane reductions all
-    run once per bundle instead of once per cluster — the epilogue cost
-    (division + 2 reductions, the expensive non-FMA part) is amortized
-    NB-fold."""
+    The NB clusters of a bundle are evaluated as (G/sub) subgroup tile
+    batches of (sub, NB*C): the per-cluster feature blocks DMA into
+    adjacent lane bands of the staging buffer, and a subgroup's batch
+    is SKIPPED entirely (pl.when) when none of the bundle's clusters
+    carries that subgroup's cull bit (subm_ref, bit j = some live ray
+    of rows j*sub..(j+1)*sub-1 enters the cluster's AABB).  The
+    candidate union of a 64-ray group is ~3x any 8-ray subgroup's
+    (measured, scripts/stats_subgroup.py), so most batches skip — this
+    attacks the dominant lane-waste term of the round-3 kernel.  The
+    running best hit lives in VMEM scratch (bt_ref/bp_ref) so the
+    skipped regions can leave their rows untouched."""
     r = rays_ref[0]                  # (G, NF)
     tmax = tmax_ref[0]               # (G, 1)
     n = ncand_ref[0, 0, 0]           # candidates (kernel rounds up to NB)
     nb = (n + NB - 1) // NB          # bundles
     Gr = r.shape[0]
+    nsg = Gr // sub
     NBC = NB * C
-    lane = jax.lax.broadcasted_iota(jnp.int32, (Gr, NBC), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, NBC), 1)
     lane_loc = lane & (C - 1)        # slot-local triangle lane
     band = lane >> 7                 # which cluster slot (C = 128)
     big_t = jnp.float32(3.0e38)
+
+    bt_ref[:] = jnp.where(tmax > 0.0, tmax,
+                          -big_t)    # dead rays match nothing
+    bp_ref[:] = jnp.full((Gr, 1), -1, jnp.int32)
 
     def dma(slot, j, i):
         # cand ids are padded/clamped by the wrapper, so fetching the
@@ -175,11 +189,11 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
         start_bundle(0, 0)
 
     def cond(st):
-        i, done, best_t, best_prim = st
+        i, done = st
         return (i < nb) & jnp.logical_not(done)
 
     def step(st):
-        i, done, best_t, best_prim = st
+        i, done = st
         slot = jax.lax.rem(i, 2)
 
         @pl.when(i + 1 < nb)
@@ -189,75 +203,89 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
         wait_bundle(slot, i)
 
         # Thin-K contraction as explicit VPU outer-product accumulation
-        # over the whole (G, NB*C) bundle tile: at K=16 the MXU pads the
+        # over (sub, NB*C) subgroup tiles: at K=16 the MXU pads the
         # contraction to 128 (8x wasted passes, and f32 needs multi-pass
         # bf16 emulation); 25 full-rate f32 madds on wide tiles beat it
         # AND keep exact f32 precision (no bf16 side-test cancellation —
         # the ADVICE r2 precision concern).
         fb = fbuf[slot]                               # (NF, NQ, NB*C)
 
-        def contract(q, rows, rcols):
-            acc = None
-            for f, rc in zip(rows, rcols):
-                term = r[:, rc:rc + 1] * fb[f, q][None, :]
-                acc = term if acc is None else acc + term
-            return acc                                # (G, NB*C)
-
-        e6 = (0, 1, 2, 3, 4, 5)
-        w0 = contract(0, e6, e6)
-        w1 = contract(1, e6, e6)
-        w2 = contract(2, e6, e6)
-        num = contract(3, (6, 7, 8, 9), (6, 7, 8, 9))
-        # the plane denominator n.d equals the side sum s EXACTLY in
-        # real arithmetic (a x b + b x c + c x a = e1 x e2 = n), so no
-        # separate contraction: t = num / s  (Shevtsov et al. form)
-        s = w0 + w1 + w2
-        t = num / jnp.where(jnp.abs(s) > 1e-12, s,
-                            jnp.where(s >= 0, 1e-12, -1e-12))
-        # sign-agreement via pairwise products (fewer VPU ops than
-        # the 6-compare form; all three pairs needed so a single
-        # zero side can't mask a disagreement between the others)
-        same = ((w0 * w1 >= 0) & (w1 * w2 >= 0) & (w0 * w2 >= 0))
+        # OR of the bundle's per-cluster subgroup bitmasks
+        bits = subm_ref[0, 0, i * NB]
+        for j in range(1, NB):
+            bits = bits | subm_ref[0, 0, i * NB + j]
 
         # per-slot triangle counts / prim offsets broadcast to lanes
+        # (row-independent — shared by every subgroup tile)
         def per_slot(tab_ref, idx):
-            v = tab_ref[0, 0, idx * NB + 3]
+            v = tab_ref[0, 0, idx * NB + NB - 1]
             for j in range(NB - 2, -1, -1):
                 v = jnp.where(band <= j, tab_ref[0, 0, idx * NB + j], v)
             return v
 
-        cnt_v = per_slot(ccnt_ref, i)                 # (G, NB*C) i32
-        ok = (same & (jnp.abs(s) > 1e-12)
-              & (t > 1e-5) & (t < best_t) & (lane_loc < cnt_v))
-        t_ok = jnp.where(ok, t, big_t)
-        tmin = jnp.min(t_ok, axis=1, keepdims=True)   # (G,1)
-        upd = tmin < best_t
-        # winner prim id in ONE int min-reduce: any lane at t == tmin is
-        # a valid closest hit; take the smallest global prim id among
-        # them (deterministic)
+        cnt_v = per_slot(ccnt_ref, i)                 # (sub, NB*C) i32
         prim_v = per_slot(coff_ref, i) + lane_loc
-        win = (t_ok == tmin) & ok
-        prim_w = jnp.min(jnp.where(win, prim_v, jnp.int32(2 ** 30)),
-                         axis=1, keepdims=True)
-        best_t = jnp.where(upd, tmin, best_t)
-        best_prim = jnp.where(upd, prim_w, best_prim)
+
+        for g in range(nsg):
+            @pl.when(((bits >> g) & 1) != 0)
+            def _(g=g):
+                lo = g * sub
+                rj = r[lo:lo + sub]                   # (sub, NF)
+
+                def contract(q, rows, rcols):
+                    acc = None
+                    for f, rc in zip(rows, rcols):
+                        term = rj[:, rc:rc + 1] * fb[f, q][None, :]
+                        acc = term if acc is None else acc + term
+                    return acc                        # (sub, NB*C)
+
+                e6 = (0, 1, 2, 3, 4, 5)
+                w0 = contract(0, e6, e6)
+                w1 = contract(1, e6, e6)
+                w2 = contract(2, e6, e6)
+                num = contract(3, (6, 7, 8, 9), (6, 7, 8, 9))
+                # the plane denominator n.d equals the side sum s
+                # EXACTLY in real arithmetic (a x b + b x c + c x a =
+                # e1 x e2 = n), so no separate contraction: t = num / s
+                # (Shevtsov et al. form)
+                s = w0 + w1 + w2
+                t = num / jnp.where(jnp.abs(s) > 1e-12, s,
+                                    jnp.where(s >= 0, 1e-12, -1e-12))
+                # sign-agreement via pairwise products (fewer VPU ops
+                # than the 6-compare form; all three pairs needed so a
+                # single zero side can't mask a disagreement between
+                # the others)
+                same = ((w0 * w1 >= 0) & (w1 * w2 >= 0) & (w0 * w2 >= 0))
+
+                best_t = bt_ref[lo:lo + sub]          # (sub, 1)
+                ok = (same & (jnp.abs(s) > 1e-12)
+                      & (t > 1e-5) & (t < best_t) & (lane_loc < cnt_v))
+                t_ok = jnp.where(ok, t, big_t)
+                tmin = jnp.min(t_ok, axis=1, keepdims=True)   # (sub,1)
+                upd = tmin < best_t
+                # winner prim id in ONE int min-reduce: any lane at
+                # t == tmin is a valid closest hit; take the smallest
+                # global prim id among them (deterministic)
+                win = (t_ok == tmin) & ok
+                prim_w = jnp.min(
+                    jnp.where(win, prim_v, jnp.int32(2 ** 30)),
+                    axis=1, keepdims=True)
+                bt_ref[lo:lo + sub] = jnp.where(upd, tmin, best_t)
+                bp_ref[lo:lo + sub] = jnp.where(upd, prim_w,
+                                                bp_ref[lo:lo + sub])
 
         # exact early break: bundle i+1 (and all later ones — the list
         # is tnear-sorted) cannot beat best_t for any ray.  Dead rays
         # (best_t = -big) always satisfy it; unhit live rays have
         # best_t = tmax, which for shadow rays bounds the search.
         nxt_tn = ctn_ref[0, 0, jnp.minimum((i + 1) * NB, maxc - 1)]
-        fin = best_t <= nxt_tn
+        fin = bt_ref[:] <= nxt_tn
         if any_hit:
-            fin = fin | (best_prim >= 0)
+            fin = fin | (bp_ref[:] >= 0)
         done = jnp.all(fin)
-        return i + 1, done, best_t, best_prim
+        return i + 1, done
 
-    init = (jnp.int32(0), False,
-            jnp.where(tmax > 0.0, tmax, -big_t),  # dead rays match nothing
-            jnp.full((Gr, 1), -1, jnp.int32))
-    i_fin, done_fin, best_t, best_prim = jax.lax.while_loop(cond, step,
-                                                            init)
+    i_fin, done_fin = jax.lax.while_loop(cond, step, (jnp.int32(0), False))
 
     # drain: a break at iteration i-1 leaves the prefetched bundle for
     # iteration i in flight — wait it so the semaphore state stays clean
@@ -266,13 +294,14 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
     def _():
         wait_bundle(jax.lax.rem(i_fin, 2), i_fin)
 
+    best_prim = bp_ref[:]
     hitm = best_prim >= 0
-    t_out[0] = jnp.where(hitm, best_t, tmax)
+    t_out[0] = jnp.where(hitm, bt_ref[:], tmax)
     prim_out[0] = best_prim
 
 
-def _run_kernel(feat, cand, coff, ccnt, ctn, ncand, rays, tmax, *,
-                any_hit: bool, interpret: bool):
+def _run_kernel(feat, cand, coff, ccnt, ctn, subm, ncand, rays, tmax, *,
+                any_hit: bool, interpret: bool, sub: int):
     Gn, G, _ = rays.shape
     maxc = cand.shape[-1]
     smem = lambda shape: pl.BlockSpec(
@@ -286,7 +315,7 @@ def _run_kernel(feat, cand, coff, ccnt, ctn, ncand, rays, tmax, *,
         jax.ShapeDtypeStruct((Gn, G, 1), jnp.int32),
     ]
     kern = functools.partial(_traverse_group_kernel, any_hit=any_hit,
-                             maxc=maxc)
+                             maxc=maxc, sub=sub)
     return pl.pallas_call(
         kern,
         grid=(Gn,),
@@ -298,6 +327,7 @@ def _run_kernel(feat, cand, coff, ccnt, ctn, ncand, rays, tmax, *,
             smem((1, 1, maxc)),                   # tri offsets
             smem((1, 1, maxc)),                   # tri counts
             smem((1, 1, maxc)),                   # tnear (sorted)
+            smem((1, 1, maxc)),                   # subgroup bitmasks
             smem((1, 1, 1)),                      # n candidates
             vmem((1, G, NF)),                     # ray features
             vmem((1, G, 1)),                      # t_max
@@ -307,15 +337,18 @@ def _run_kernel(feat, cand, coff, ccnt, ctn, ncand, rays, tmax, *,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, NR, NQP, NB * C), jnp.float32),
+            pltpu.VMEM((G, 1), jnp.float32),      # running best t
+            pltpu.VMEM((G, 1), jnp.int32),        # running best prim
             pltpu.SemaphoreType.DMA((2, NB)),
         ],
         interpret=interpret,
-    )(cand, coff, ccnt, ctn, ncand, rays, tmax, feat)
+    )(cand, coff, ccnt, ctn, subm, ncand, rays, tmax, feat)
 
 
 def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
                              any_hit: bool = False, group: int = G_DEFAULT,
                              max_candidates: int = MAXC_DEFAULT,
+                             subgroup: int = SUB_DEFAULT,
                              world_min=None, world_max=None,
                              fallback=None, interpret: bool = False,
                              tri_p0=None, tri_e1=None, tri_e2=None,
@@ -373,9 +406,14 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
     # per_ray_cull): a cluster is a candidate iff some live member ray
     # enters its AABB within [0, t_max].  ~13x fewer candidates than
     # the interval-arithmetic group cull on diffuse bounce waves
-    # (measured; see BENCH_NOTES round 4).
-    mask, tnear = cluster_lib.per_ray_cull(
-        os_, ds_, ts_, cp.aabb_min, cp.aabb_max, G)      # (Gn,K)
+    # (measured; see BENCH_NOTES round 4).  The same pass also yields
+    # per-SUBGROUP need bitmasks for pl.when batch skipping in the
+    # kernel.
+    sub = subgroup
+    if G % sub:
+        sub = G
+    mask, tnear, subbits = cluster_lib.per_ray_cull_bits(
+        os_, ds_, ts_, cp.aabb_min, cp.aabb_max, G, sub)  # (Gn,K)
     n_cand = jnp.sum(mask, axis=1)
 
     # front-to-back candidate order by conservative entry distance —
@@ -388,14 +426,16 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
     order_key = jnp.where(mask, tnear, big_t)
     cid_row = jnp.arange(K, dtype=jnp.int32)
     packed_row = cp.tri_off * jnp.int32(256) + cp.tri_cnt   # cnt <= C < 256
-    ctn, cand, packed = jax.lax.sort(
+    ctn, cand, packed, subm = jax.lax.sort(
         (order_key,
          jnp.broadcast_to(cid_row, (Gn, K)),
-         jnp.broadcast_to(packed_row, (Gn, K))),
+         jnp.broadcast_to(packed_row, (Gn, K)),
+         subbits),
         dimension=1, num_keys=1)
     ctn = ctn[:, :MAXC]
     cand = cand[:, :MAXC]
     packed = packed[:, :MAXC]
+    subm = subm[:, :MAXC]
     padc = MAXC - ctn.shape[1]
     if padc > 0:  # K smaller than a whole number of bundles
         cand = jnp.concatenate(
@@ -404,9 +444,12 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
             [ctn, jnp.full((Gn, padc), big_t)], axis=1)
         packed = jnp.concatenate(
             [packed, jnp.zeros((Gn, padc), jnp.int32)], axis=1)
+        subm = jnp.concatenate(
+            [subm, jnp.zeros((Gn, padc), jnp.int32)], axis=1)
     cand_valid = ctn < big_t
     coff = packed // 256
     ccnt = jnp.where(cand_valid, packed % 256, 0)
+    subm = jnp.where(cand_valid, subm, 0)
     ncand = jnp.minimum(n_cand, MAXC).astype(jnp.int32)[:, None]
 
     r6, r8 = cluster_lib.ray_features(os_, ds_)          # (Np,6),(Np,8)
@@ -418,8 +461,8 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
 
     t, prim = _run_kernel(
         cp.feat, cand[:, None, :], coff[:, None, :], ccnt[:, None, :],
-        ctn[:, None, :], ncand[:, None, :], rays, tmax_b,
-        any_hit=any_hit, interpret=interpret)
+        ctn[:, None, :], subm[:, None, :], ncand[:, None, :], rays, tmax_b,
+        any_hit=any_hit, interpret=interpret, sub=sub)
     t = t.reshape(Np)
     prim = prim.reshape(Np)
     valid = prim >= 0
