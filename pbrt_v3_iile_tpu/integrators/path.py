@@ -640,7 +640,7 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                      accel=cfg.accel, time=time,
                                      cluster_group=cfg.cluster_group,
                                      cluster_maxc=cfg.cluster_maxc,
-                                  cluster_sub=cfg.cluster_sub,
+                                     cluster_sub=cfg.cluster_sub,
                                      spheres=cfg.has_spheres,
                                      presorted=presorted)
             vis = can_nee & (~occ)
@@ -848,7 +848,7 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                          accel=cfg.accel, time=time,
                                          cluster_group=cfg.cluster_group,
                                          cluster_maxc=cfg.cluster_maxc,
-                                  cluster_sub=cfg.cluster_sub)
+                                         cluster_sub=cfg.cluster_sub)
                 pit = isect.make_interaction(scene, base, p_dir, ph,
                                              time=time)
                 # differentiable mode: probe geometry frozen like the
@@ -939,7 +939,7 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                            accel=cfg.accel, time=time,
                                            cluster_group=cfg.cluster_group,
                                            cluster_maxc=cfg.cluster_maxc,
-                                  cluster_sub=cfg.cluster_sub)
+                                           cluster_sub=cfg.cluster_sub)
                 ray_count = ray_count + jnp.sum(can_x)
                 w_mis_x = jnp.where(
                     lsx.is_delta, 1.0,

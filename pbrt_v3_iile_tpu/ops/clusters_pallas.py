@@ -409,8 +409,12 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
     # (measured; see BENCH_NOTES round 4).  The same pass also yields
     # per-SUBGROUP need bitmasks for pl.when batch skipping in the
     # kernel.
+    # subgroup validation (ADVICE r4): the cull bitmask is one int32, so
+    # at most 32 subgroups; and Mosaic needs sublane-tile-aligned (>=8)
+    # scratch row slices.  Out-of-range values fall back to sub = G
+    # (dense full-group tiles, no batch skipping).
     sub = subgroup
-    if G % sub:
+    if G % sub or sub < 8 or G // sub > 32:
         sub = G
     mask, tnear, subbits = cluster_lib.per_ray_cull_bits(
         os_, ds_, ts_, cp.aabb_min, cp.aabb_max, G, sub)  # (Gn,K)

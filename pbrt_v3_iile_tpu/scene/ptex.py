@@ -18,8 +18,13 @@ in this checkout, src/ext/ptex/) with a dependency-free implementation:
   or the triangle's ordinal within its mesh — matching pbrt's
   SurfaceInteraction::faceIndex flow into Ptex::eval, ptex.cpp:91).
   Intra-face (u,v) is the triangle UV (pbrt's default triangle
-  parameterization), clamped at face edges (cross-face filtering via
-  adjacency is not implemented; adjacency is preserved through IO).
+  parameterization).  Cross-face filtering (the reference's PtexFilter
+  bilinear behavior, ptex.cpp:91) is done the TPU way: at BUILD time
+  each face is padded with a 1-texel border ring gathered from its
+  adjacent faces via the container's adjfaces/adjedges tables
+  (`pad_face_borders`), so the runtime bilinear stays one dense gather
+  per tap with no per-face branching, yet border taps blend into the
+  neighboring face exactly as a runtime adjacency walk would.
 """
 
 from __future__ import annotations
@@ -302,8 +307,78 @@ def make_test_ptx(path: str, n_faces: int = 4, res_log2: int = 3,
     return pf
 
 
+def _edge_row(face, e):
+    """Edge texels of (rv,ru,C) `face` along edge e in CCW order.
+
+    Ptex edge ids: 0=bottom (v=0, +u), 1=right (u=max, +v),
+    2=top (v=max, -u), 3=left (u=0, -v)."""
+    if e == 0:
+        return face[0, :, :]
+    if e == 1:
+        return face[:, -1, :]
+    if e == 2:
+        return face[-1, ::-1, :]
+    return face[::-1, 0, :]
+
+
+def _resample_row(row, n):
+    """Linearly resample a (L,C) edge row to n samples (texel centers)."""
+    L = row.shape[0]
+    if L == n:
+        return row
+    x = (np.arange(n) + 0.5) / n * L - 0.5
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, L - 1)
+    x1 = np.minimum(x0 + 1, L - 1)
+    a = np.clip(x - x0, 0.0, 1.0)[:, None]
+    return row[x0] * (1 - a) + row[x1] * a
+
+
+def pad_face_borders(pf: PtexFile):
+    """Return faces padded to (rv+2, ru+2, C) with a border ring taken
+    from adjacent faces (cross-face bilinear; ref: textures/ptex.cpp:91
+    PtexFilter).  A shared edge is traversed in opposite CCW directions
+    by its two faces, so the neighbor's edge row is reversed (and
+    resampled if resolutions differ).  Open edges (adjface == -1)
+    replicate the face's own edge (clamp).  Corner ring texels average
+    their two edge neighbors."""
+    out = []
+    F = len(pf.faces)
+    for f, face in enumerate(pf.faces):
+        rv, ru, C = face.shape
+        pad = np.zeros((rv + 2, ru + 2, C), face.dtype)
+        pad[1:-1, 1:-1] = face
+        rows = {}
+        for e, L in ((0, ru), (1, rv), (2, ru), (3, rv)):
+            af = int(pf.adjfaces[f, e]) if f < len(pf.adjfaces) else -1
+            if 0 <= af < F:
+                ae = (int(pf.adjedges[f]) >> (2 * e)) & 3
+                nrow = _edge_row(pf.faces[af], ae)[::-1]  # our CCW order
+                rows[e] = _resample_row(nrow, L)
+            else:
+                rows[e] = _edge_row(face, e)              # clamp
+        # scatter CCW-ordered rows into border cells (top/left rows are
+        # CCW -u/-v, so they flip back to array order)
+        pad[0, 1:-1] = rows[0]
+        pad[1:-1, -1] = rows[1]
+        pad[-1, 1:-1] = rows[2][::-1]
+        pad[1:-1, 0] = rows[3][::-1]
+        for (cy, cx), (ay, ax), (by, bx) in (
+                ((0, 0), (0, 1), (1, 0)),
+                ((0, -1), (0, -2), (1, -1)),
+                ((-1, 0), (-1, 1), (-2, 0)),
+                ((-1, -1), (-1, -2), (-2, -1))):
+            pad[cy, cx] = 0.5 * (pad[ay, ax] + pad[by, bx])
+        out.append(pad)
+    return out
+
+
 def build_face_tables(ptex_files: list):
     """Concatenate all ptex files' faces into the flat device pool.
+
+    Faces are stored PADDED (rv+2, ru+2) with cross-face border rings
+    (`pad_face_borders`); resu/resv hold the UNPADDED resolution and the
+    runtime lookup addresses texel (x, y) at
+    off + (y+1)*(ru+2) + (x+1) with x in [-1, ru] (textures._eval_ptex).
 
     Returns (bases (list per file), off, resu, resv, texels) numpy arrays
     for TextureTable.ptex_*."""
@@ -313,11 +388,11 @@ def build_face_tables(ptex_files: list):
     nfaces = 0
     for pf in ptex_files:
         bases.append(nfaces)
-        for face in pf.faces:
-            h, w = face.shape[:2]
+        for face in pad_face_borders(pf):
+            h, w = face.shape[:2]          # padded dims
             off.append(total)
-            ru.append(w)
-            rv.append(h)
+            ru.append(w - 2)
+            rv.append(h - 2)
             c = face.shape[-1]
             rgb = face[..., :3] if c >= 3 else np.repeat(
                 face[..., :1], 3, axis=-1)

@@ -469,8 +469,10 @@ def _eval_leaf(tt: TextureTable, tid, uv, p, width=None):
 
 def _eval_ptex(tt: TextureTable, tid_c, uv, face):
     """Per-face bilinear lookup from the flat ptex pool (ref:
-    textures/ptex.cpp Ptex eval via faceIndex; edge-clamped within the
-    face — cross-face filtering not applied)."""
+    textures/ptex.cpp Ptex eval via faceIndex).  Faces are stored with a
+    1-texel cross-face border ring (scene/ptex.build_face_tables), so
+    taps at x,y in {-1, res} blend into the adjacent face — PtexFilter's
+    bilinear cross-face behavior at zero runtime cost."""
     F = tt.ptex_off.shape[0]
     base = jnp.take(tt.ptex_base, tid_c)
     fidx = jnp.clip(base + face, 0, F - 1)
@@ -479,15 +481,17 @@ def _eval_ptex(tt: TextureTable, tid_c, uv, face):
     rv = jnp.take(tt.ptex_resv, fidx)
     fu = jnp.clip(uv[..., 0], 0.0, 1.0) * ru.astype(jnp.float32) - 0.5
     fv = jnp.clip(uv[..., 1], 0.0, 1.0) * rv.astype(jnp.float32) - 0.5
-    x0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, ru - 1)
-    y0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, rv - 1)
-    x1 = jnp.minimum(x0 + 1, ru - 1)
-    y1 = jnp.minimum(y0 + 1, rv - 1)
+    x0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), -1, ru - 1)
+    y0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), -1, rv - 1)
+    x1 = x0 + 1                       # <= ru: lands in the border ring
+    y1 = y0 + 1
     ax = jnp.clip(fu - x0, 0.0, 1.0)[..., None]
     ay = jnp.clip(fv - y0, 0.0, 1.0)[..., None]
     P = tt.ptex_texels.shape[0]
-    tex = lambda x, y: jnp.take(tt.ptex_texels,
-                                jnp.clip(off + y * ru + x, 0, P - 1), axis=0)
+    stride = ru + 2                   # padded row stride
+    tex = lambda x, y: jnp.take(
+        tt.ptex_texels,
+        jnp.clip(off + (y + 1) * stride + (x + 1), 0, P - 1), axis=0)
     return ((1 - ay) * ((1 - ax) * tex(x0, y0) + ax * tex(x1, y0))
             + ay * ((1 - ax) * tex(x0, y1) + ax * tex(x1, y1)))
 

@@ -63,7 +63,7 @@ def test_face_tables_and_eval(tmp_path):
     pf.faces = [np.full((2, 2, 3), c, np.float32) for c in colors]
     bases, (off, ru, rv, pool) = ptexlib.build_face_tables([pf])
     assert bases == [0]
-    assert pool.shape == (nf * 4, 3)
+    assert pool.shape == (nf * 16, 3)   # (2+2)x(2+2) padded per face
 
     tt = texlib.empty_table()._replace(
         kind=jnp.asarray([texlib.TEX_PTEX], jnp.int32),
@@ -120,6 +120,77 @@ WorldEnd
     right = img[:, -w // 3:]    # x > 0 half: face 1 (blue)
     assert left[..., 0].mean() > 3.0 * left[..., 2].mean()
     assert right[..., 2].mean() > 3.0 * right[..., 0].mean()
+
+
+def test_ptex_cross_face_border_continuity():
+    """Bilinear filtering must be continuous ACROSS a shared face edge
+    (ref: textures/ptex.cpp:91 PtexFilter): two adjacent faces with
+    different constant colors blend linearly through the boundary
+    instead of clamping to their own color."""
+    from pbrt_v3_iile_tpu.scene import textures as texlib
+
+    pf = ptexlib.PtexFile()
+    pf.res = np.full((2, 2), 2, np.int32)       # 4x4 faces
+    # face 0's right edge (e=1) touches face 1's left edge (e=3)
+    pf.adjfaces = np.asarray([[-1, 1, -1, -1],
+                              [-1, -1, -1, 0]], np.int32)
+    pf.adjedges = np.asarray([3 << 2, 1 << 6], np.uint32)
+    pf.const = np.zeros((2, 3), np.float32)
+    pf.faces = [np.full((4, 4, 3), 0.2, np.float32),
+                np.full((4, 4, 3), 0.8, np.float32)]
+    bases, (off, ru, rv, pool) = ptexlib.build_face_tables([pf])
+
+    tt = texlib.empty_table()._replace(
+        kind=jnp.asarray([texlib.TEX_PTEX], jnp.int32),
+        ptex_base=jnp.asarray([0], jnp.int32),
+        ptex_off=jnp.asarray(off), ptex_resu=jnp.asarray(ru),
+        ptex_resv=jnp.asarray(rv), ptex_texels=jnp.asarray(pool))
+
+    # walk u across face 0 toward the shared edge and into face 1:
+    # samples u=7/8 (last texel center, pure 0.2), u=1.0 on face 0
+    # (midpoint 0.5), u=0.0 on face 1 (midpoint 0.5), u=1/8 (pure 0.8)
+    uv = jnp.asarray([[7 / 8, 0.5], [1.0, 0.5], [0.0, 0.5], [1 / 8, 0.5]],
+                     jnp.float32)
+    face = jnp.asarray([0, 0, 1, 1], jnp.int32)
+    tid = jnp.zeros(4, jnp.int32)
+    p = jnp.zeros((4, 3), jnp.float32)
+    out = np.asarray(texlib.eval_texture(tt, tid, uv, p, face=face))[:, 0]
+    assert abs(out[0] - 0.2) < 1e-5, out
+    assert abs(out[3] - 0.8) < 1e-5, out
+    # at the shared edge both faces see the same 50/50 blend
+    assert abs(out[1] - 0.5) < 1e-5, out
+    assert abs(out[2] - 0.5) < 1e-5, out
+    # monotone ramp through the border
+    assert out[0] < out[1] <= out[2] < out[3]
+
+
+def test_ptex_open_edge_clamps():
+    """Faces with no neighbor keep the old clamp behavior exactly."""
+    from pbrt_v3_iile_tpu.scene import textures as texlib
+
+    pf = ptexlib.PtexFile()
+    pf.res = np.full((1, 2), 2, np.int32)
+    pf.adjfaces = np.full((1, 4), -1, np.int32)
+    pf.adjedges = np.zeros(1, np.uint32)
+    pf.const = np.zeros((1, 3), np.float32)
+    rng = np.random.default_rng(3)
+    pf.faces = [rng.uniform(0, 1, (4, 4, 3)).astype(np.float32)]
+    bases, (off, ru, rv, pool) = ptexlib.build_face_tables([pf])
+    tt = texlib.empty_table()._replace(
+        kind=jnp.asarray([texlib.TEX_PTEX], jnp.int32),
+        ptex_base=jnp.asarray([0], jnp.int32),
+        ptex_off=jnp.asarray(off), ptex_resu=jnp.asarray(ru),
+        ptex_resv=jnp.asarray(rv), ptex_texels=jnp.asarray(pool))
+    uv = jnp.asarray([[0.0, 0.5], [1.0, 0.5], [0.5, 0.0], [0.5, 1.0]],
+                     jnp.float32)
+    face = jnp.zeros(4, jnp.int32)
+    tid = jnp.zeros(4, jnp.int32)
+    p = jnp.zeros((4, 3), jnp.float32)
+    out = np.asarray(texlib.eval_texture(tt, tid, uv, p, face=face))
+    f = pf.faces[0]
+    exp = np.stack([0.5 * (f[1, 0] + f[2, 0]), 0.5 * (f[1, 3] + f[2, 3]),
+                    0.5 * (f[0, 1] + f[0, 2]), 0.5 * (f[3, 1] + f[3, 2])])
+    np.testing.assert_allclose(out, exp, atol=1e-5)
 
 
 def test_ptx_tiled_roundtrip(tmp_path):
