@@ -85,9 +85,13 @@ class PathConfig(NamedTuple):
     cluster_maxc: int = 192            # fused-kernel max candidate
                                       # clusters per group (overflow ->
                                       # XLA-walker fallback)
-    cluster_sub: int = 8          # fused-kernel subgroup rows for
-                                  # pl.when batch skipping (= group
-                                  # disables the masking)
+    cluster_sub: int = 64         # fused-kernel subgroup rows for
+                                  # pl.when batch skipping (= group:
+                                  # dense, no masking — the round-5
+                                  # on-chip sweep winner)
+    cluster_bk: int = 4           # fused-kernel early-break cadence in
+                                  # bundles (cross-lane reductions run
+                                  # every bk bundles)
 
 
 def _hg_p(cos_theta, g):
@@ -405,6 +409,7 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                   cluster_group=cfg.cluster_group,
                                   cluster_maxc=cfg.cluster_maxc,
                                   cluster_sub=cfg.cluster_sub,
+                                  cluster_bk=cfg.cluster_bk,
                                   spheres=cfg.has_spheres,
                                   presorted=presorted)
         hit = jax.tree.map(sg, hit)
@@ -641,6 +646,7 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                      cluster_group=cfg.cluster_group,
                                      cluster_maxc=cfg.cluster_maxc,
                                      cluster_sub=cfg.cluster_sub,
+                                     cluster_bk=cfg.cluster_bk,
                                      spheres=cfg.has_spheres,
                                      presorted=presorted)
             vis = can_nee & (~occ)
@@ -848,7 +854,8 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                          accel=cfg.accel, time=time,
                                          cluster_group=cfg.cluster_group,
                                          cluster_maxc=cfg.cluster_maxc,
-                                         cluster_sub=cfg.cluster_sub)
+                                         cluster_sub=cfg.cluster_sub,
+                                         cluster_bk=cfg.cluster_bk)
                 pit = isect.make_interaction(scene, base, p_dir, ph,
                                              time=time)
                 # differentiable mode: probe geometry frozen like the
@@ -939,7 +946,8 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                            accel=cfg.accel, time=time,
                                            cluster_group=cfg.cluster_group,
                                            cluster_maxc=cfg.cluster_maxc,
-                                           cluster_sub=cfg.cluster_sub)
+                                           cluster_sub=cfg.cluster_sub,
+                                           cluster_bk=cfg.cluster_bk)
                 ray_count = ray_count + jnp.sum(can_x)
                 w_mis_x = jnp.where(
                     lsx.is_delta, 1.0,

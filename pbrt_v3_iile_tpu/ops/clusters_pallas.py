@@ -19,16 +19,17 @@ ray wave keeps everything in VMEM:
   cull done in XLA (ops/clusters.sort_key/_group_cull), front-to-back
   ordered so the t-pruning (`t < best_t`) kills most lanes early.
 
-Feature packing (per cluster, (16, 5*C) f32), ray feature vector
+Feature packing (per cluster, slim (NRS=24, C) f32), ray feature vector
 r = [d(3), o x d(3), -o(3), 1, 0...]:
-  cols [q*C + j] for quantity q of triangle j:
-    q=0,1,2: edge sides  rows 0:3 = a x b, rows 3:6 = b - a
+  row [q*6 + 0:3] = a x b, [q*6 + 3:6] = b - a for edge q of triangle j
              (side = d.(a x b) + (o x d).(b - a), Shevtsov-style)
-    q=3: plane numerator rows 6:9 = n, row 9 = n.p0  (= n.p0 - n.o)
-    q=4: plane denom     rows 0:3 = n                (= n.d)
-  so t = num/den, and the side signs agree iff the ray crosses the
+  rows 18:21 = n, row 21 = n.p0 (plane numerator; the denominator n.d
+  equals the side sum s exactly, so it needs no rows)
+  so t = num/s, and the side signs agree iff the ray crosses the
   triangle; u = w2/s, v = w0/s with s = w0+w1+w2 (same convention as
-  ops/clusters.py, parity-tested).
+  ops/clusters.py, parity-tested).  Only the 22 live rows (padded 24)
+  ride the per-cluster DMA — 3.3x fewer bytes than a (10, 8, C)
+  quantity-band layout.
 
 Replaces the reference renderer's hot loop
 (ref: src/accelerators/bvh.cpp:662 BVHAccel::Intersect,
@@ -51,23 +52,28 @@ from . import clusters as cluster_lib
 
 C = 128          # triangles per cluster (one lane tile per quantity)
 NF = 16          # ray feature lanes (10 used, padded to 16)
-NR = 10          # triangle feature rows
-NQ = 5           # quantities per triangle: w0 w1 w2 num den
-NQP = 8          # quantity bands padded to the sublane tile
+NRS = 24         # slim feature rows per cluster: 3x6 edge-side rows +
+                 # 3 plane-normal rows + 1 plane-offset row = 22, padded
+                 # to the f32 sublane tile (saves 3.3x DMA bytes vs the
+                 # round-3 (10, 8, C) quantity-band layout)
 NB = 4           # clusters tested per loop iteration (amortizes the
                  # DMA-latency + loop-overhead floor over 4x the work)
 G_DEFAULT = 64   # rays per group (full-pass sweep optimum)
 MAXC_DEFAULT = 192
-SUB_DEFAULT = 8  # rays per subgroup for pl.when batch skipping: a
-                 # bundle's (sub, NB*C) tile is only evaluated for
-                 # subgroups whose cull bit is set — the candidate
-                 # union of a 64-ray group is ~3x any 8-ray subgroup's
-                 # (scripts/stats_subgroup.py), so most tiles skip
+SUB_DEFAULT = 64  # rays per subgroup for pl.when batch skipping.
+                 # sub = G (dense, no masking) won the round-5 on-chip
+                 # sweep: with the per-lane deferred best the masked
+                 # tile evals are cheaper than the branches they save
+                 # (BENCH_NOTES round 5); the masking stays available
+                 # for scenes with more divergent candidate sets
+BK_DEFAULT = 4   # early-break / per-ray-best cadence in bundles: the
+                 # cross-lane min reductions only run every BK bundles
+                 # (the per-lane running best makes them deferrable)
 
 
 class ClusterPack(NamedTuple):
     """Device tables for the fused kernel (triangles in BVH order)."""
-    feat: jnp.ndarray      # (K, NR, NQP, C) f32 packed features (HBM)
+    feat: jnp.ndarray      # (K, NRS, C) f32 packed features (HBM)
     tri_off: jnp.ndarray   # (K,) i32 first triangle id
     tri_cnt: jnp.ndarray   # (K,) i32 valid triangles (<= C)
     aabb_min: jnp.ndarray  # (K,3) f32
@@ -97,21 +103,23 @@ def build_cluster_pack(flat, tri_p0, tri_e1, tri_e2,
     k_of = np.repeat(np.arange(K), cnt)           # (T,) cluster per tri
     j_of = np.arange(T) - off[k_of]               # (T,) slot in cluster
 
-    # layout (K, NR, NQP, C): feature row f, quantity band q (padded
-    # 5 -> 8 so the (second-minor, minor) dims are (8, C) tile-aligned
-    # for Mosaic DMA), triangle lane j.  NR = 10 is a free leading dim.
-    feat = np.zeros((K, NR, NQP, max_tris), np.float32)
+    # slim layout (K, NRS, C): only the 22 rows the contraction reads —
+    # rows q*6+0:3 = a x b, q*6+3:6 = b - a for the three edges q,
+    # rows 18:21 = n, row 21 = n.p0 — padded to 24 for the sublane tile
+    # (vs the round-3 (10, 8, C) band layout that DMA'd 80 rows: 3.3x
+    # fewer bytes per cluster fetch).
+    feat = np.zeros((K, NRS, max_tris), np.float32)
     rows3 = np.arange(3)
     for q, (a, b) in enumerate(((p0, p1), (p1, p2), (p2, p0))):
-        feat[k_of[:, None], rows3[None, :], q, j_of[:, None]] = \
+        feat[k_of[:, None], q * 6 + rows3[None, :], j_of[:, None]] = \
             np.cross(a, b).astype(np.float32)
-        feat[k_of[:, None], 3 + rows3[None, :], q, j_of[:, None]] = \
+        feat[k_of[:, None], q * 6 + 3 + rows3[None, :], j_of[:, None]] = \
             (b - a).astype(np.float32)
-    feat[k_of[:, None], 6 + rows3[None, :], 3, j_of[:, None]] = \
+    feat[k_of[:, None], 18 + rows3[None, :], j_of[:, None]] = \
         n.astype(np.float32)
-    feat[k_of, 9, 3, j_of] = np.einsum("td,td->t", n,
-                                       p0).astype(np.float32)
-    # no separate plane-denominator band: n.d == w0+w1+w2 exactly
+    feat[k_of, 21, j_of] = np.einsum("td,td->t", n,
+                                     p0).astype(np.float32)
+    # no separate plane-denominator row: n.d == w0+w1+w2 exactly
     # (a x b + b x c + c x a = e1 x e2 = n), so the kernel reuses the
     # side-sum s as the denominator — one fewer contraction.
 
@@ -131,8 +139,9 @@ def build_cluster_pack(flat, tri_p0, tri_e1, tri_e2,
 def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
                            subm_ref, ncand_ref, rays_ref, tmax_ref,
                            feat_hbm, t_out, prim_out,
-                           fbuf, bt_ref, bp_ref, sems, *, any_hit: bool,
-                           maxc: int, sub: int):
+                           fbuf, bt_ref, btl_ref, bpl_ref, sems, *,
+                           any_hit: bool, maxc: int, sub: int, bk: int,
+                           exact_div: bool):
     """One grid program = one ray group vs its candidate clusters.
 
     Candidates arrive sorted by conservative entry distance (ctn_ref);
@@ -146,12 +155,15 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
     adjacent lane bands of the staging buffer, and a subgroup's batch
     is SKIPPED entirely (pl.when) when none of the bundle's clusters
     carries that subgroup's cull bit (subm_ref, bit j = some live ray
-    of rows j*sub..(j+1)*sub-1 enters the cluster's AABB).  The
-    candidate union of a 64-ray group is ~3x any 8-ray subgroup's
-    (measured, scripts/stats_subgroup.py), so most batches skip — this
-    attacks the dominant lane-waste term of the round-3 kernel.  The
-    running best hit lives in VMEM scratch (bt_ref/bp_ref) so the
-    skipped regions can leave their rows untouched."""
+    of rows j*sub..(j+1)*sub-1 enters the cluster's AABB).
+
+    The running best hit is PER-LANE (btl_ref/bpl_ref, (G, NB*C)): a
+    bundle only does elementwise compare+selects, and the cross-lane
+    min reductions (the expensive part of the round-4 kernel's bundle
+    epilogue) run once every `bk` bundles, fused with the early-break
+    check, plus once at the end.  t = num/s uses the VPU's approximate
+    reciprocal + one Newton step instead of a full-precision divide
+    (exact_div=True restores the divide for interpret mode)."""
     r = rays_ref[0]                  # (G, NF)
     tmax = tmax_ref[0]               # (G, 1)
     n = ncand_ref[0, 0, 0]           # candidates (kernel rounds up to NB)
@@ -166,14 +178,15 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
 
     bt_ref[:] = jnp.where(tmax > 0.0, tmax,
                           -big_t)    # dead rays match nothing
-    bp_ref[:] = jnp.full((Gr, 1), -1, jnp.int32)
+    btl_ref[:] = jnp.full((Gr, NBC), big_t)
+    bpl_ref[:] = jnp.full((Gr, NBC), 2 ** 30, jnp.int32)
 
     def dma(slot, j, i):
         # cand ids are padded/clamped by the wrapper, so fetching the
         # whole bundle unconditionally is safe; cnt=0 masks the compute
         cid = cand_ref[0, 0, i * NB + j]
         return pltpu.make_async_copy(
-            feat_hbm.at[cid], fbuf.at[slot, :, :, pl.ds(j * C, C)],
+            feat_hbm.at[cid], fbuf.at[slot, :, pl.ds(j * C, C)],
             sems.at[slot, j])
 
     def start_bundle(slot, i):
@@ -205,10 +218,10 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
         # Thin-K contraction as explicit VPU outer-product accumulation
         # over (sub, NB*C) subgroup tiles: at K=16 the MXU pads the
         # contraction to 128 (8x wasted passes, and f32 needs multi-pass
-        # bf16 emulation); 25 full-rate f32 madds on wide tiles beat it
+        # bf16 emulation); 22 full-rate f32 madds on wide tiles beat it
         # AND keep exact f32 precision (no bf16 side-test cancellation —
         # the ADVICE r2 precision concern).
-        fb = fbuf[slot]                               # (NF, NQ, NB*C)
+        fb = fbuf[slot]                               # (NRS, NB*C)
 
         # OR of the bundle's per-cluster subgroup bitmasks
         bits = subm_ref[0, 0, i * NB]
@@ -232,57 +245,69 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
                 lo = g * sub
                 rj = r[lo:lo + sub]                   # (sub, NF)
 
-                def contract(q, rows, rcols):
+                def contract(row0, rcols):
                     acc = None
-                    for f, rc in zip(rows, rcols):
-                        term = rj[:, rc:rc + 1] * fb[f, q][None, :]
+                    for k, rc in enumerate(rcols):
+                        term = rj[:, rc:rc + 1] * fb[row0 + k][None, :]
                         acc = term if acc is None else acc + term
                     return acc                        # (sub, NB*C)
 
                 e6 = (0, 1, 2, 3, 4, 5)
-                w0 = contract(0, e6, e6)
-                w1 = contract(1, e6, e6)
-                w2 = contract(2, e6, e6)
-                num = contract(3, (6, 7, 8, 9), (6, 7, 8, 9))
+                w0 = contract(0, e6)
+                w1 = contract(6, e6)
+                w2 = contract(12, e6)
+                num = contract(18, (6, 7, 8, 9))
                 # the plane denominator n.d equals the side sum s
                 # EXACTLY in real arithmetic (a x b + b x c + c x a =
                 # e1 x e2 = n), so no separate contraction: t = num / s
                 # (Shevtsov et al. form)
                 s = w0 + w1 + w2
-                t = num / jnp.where(jnp.abs(s) > 1e-12, s,
-                                    jnp.where(s >= 0, 1e-12, -1e-12))
+                s_safe = jnp.where(jnp.abs(s) > 1e-12, s,
+                                   jnp.where(s >= 0, 1e-12, -1e-12))
+                if exact_div:
+                    t = num / s_safe
+                else:
+                    # approx reciprocal (~8-bit) + one Newton step
+                    # (~1e-6 rel): far cheaper than the f32 divide and
+                    # well inside the f32 noise of the side tests
+                    r0 = pl.reciprocal(s_safe, approx=True)
+                    t = num * (r0 * (2.0 - s_safe * r0))
                 # sign-agreement via pairwise products (fewer VPU ops
                 # than the 6-compare form; all three pairs needed so a
                 # single zero side can't mask a disagreement between
                 # the others)
                 same = ((w0 * w1 >= 0) & (w1 * w2 >= 0) & (w0 * w2 >= 0))
 
-                best_t = bt_ref[lo:lo + sub]          # (sub, 1)
+                best_t = bt_ref[lo:lo + sub]          # (sub, 1), <= bk
+                                                      # bundles stale
+                btl = btl_ref[lo:lo + sub]            # (sub, NBC)
                 ok = (same & (jnp.abs(s) > 1e-12)
-                      & (t > 1e-5) & (t < best_t) & (lane_loc < cnt_v))
-                t_ok = jnp.where(ok, t, big_t)
-                tmin = jnp.min(t_ok, axis=1, keepdims=True)   # (sub,1)
-                upd = tmin < best_t
-                # winner prim id in ONE int min-reduce: any lane at
-                # t == tmin is a valid closest hit; take the smallest
-                # global prim id among them (deterministic)
-                win = (t_ok == tmin) & ok
-                prim_w = jnp.min(
-                    jnp.where(win, prim_v, jnp.int32(2 ** 30)),
-                    axis=1, keepdims=True)
-                bt_ref[lo:lo + sub] = jnp.where(upd, tmin, best_t)
-                bp_ref[lo:lo + sub] = jnp.where(upd, prim_w,
-                                                bp_ref[lo:lo + sub])
+                      & (t > 1e-5) & (t < best_t) & (lane_loc < cnt_v)
+                      & (t < btl))
+                # per-lane running best: elementwise selects only — the
+                # cross-lane reductions are deferred to the break check
+                btl_ref[lo:lo + sub] = jnp.where(ok, t, btl)
+                bpl_ref[lo:lo + sub] = jnp.where(
+                    ok, prim_v, bpl_ref[lo:lo + sub])
 
-        # exact early break: bundle i+1 (and all later ones — the list
-        # is tnear-sorted) cannot beat best_t for any ray.  Dead rays
-        # (best_t = -big) always satisfy it; unhit live rays have
-        # best_t = tmax, which for shadow rays bounds the search.
+        # exact early break every bk bundles (and on the last): bundle
+        # i+1 (and all later — the list is tnear-sorted) cannot beat
+        # best_t for any ray.  Dead rays (best_t = -big) always satisfy
+        # it; unhit live rays have best_t = tmax, which for shadow rays
+        # bounds the search.  any_hit: a ray is also finished as soon
+        # as ANY accepted hit exists (bt dropped below tmax).
+        chk = (jax.lax.rem(i + 1, bk) == 0) | (i + 1 >= nb)
+
+        @pl.when(chk)
+        def _():
+            row_min = jnp.min(btl_ref[:], axis=1, keepdims=True)
+            bt_ref[:] = jnp.minimum(bt_ref[:], row_min)
+
         nxt_tn = ctn_ref[0, 0, jnp.minimum((i + 1) * NB, maxc - 1)]
         fin = bt_ref[:] <= nxt_tn
         if any_hit:
-            fin = fin | (bp_ref[:] >= 0)
-        done = jnp.all(fin)
+            fin = fin | (bt_ref[:] < tmax)
+        done = chk & jnp.all(fin)
         return i + 1, done
 
     i_fin, done_fin = jax.lax.while_loop(cond, step, (jnp.int32(0), False))
@@ -294,14 +319,22 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
     def _():
         wait_bundle(jax.lax.rem(i_fin, 2), i_fin)
 
-    best_prim = bp_ref[:]
-    hitm = best_prim >= 0
-    t_out[0] = jnp.where(hitm, bt_ref[:], tmax)
-    prim_out[0] = best_prim
+    # final cross-lane resolve, ONCE per group: best t = lane min;
+    # winner prim = smallest prim id among lanes at the min (ties are
+    # deterministic, matching the round-4 per-bundle epilogue)
+    btl = btl_ref[:]
+    best = jnp.min(btl, axis=1, keepdims=True)        # (G, 1)
+    hitm = best < big_t * 0.5
+    win = (btl == best) & hitm
+    prim = jnp.min(jnp.where(win, bpl_ref[:], 2 ** 30),
+                   axis=1, keepdims=True)
+    t_out[0] = jnp.where(hitm, best, tmax)
+    prim_out[0] = jnp.where(hitm, prim, -1)
 
 
 def _run_kernel(feat, cand, coff, ccnt, ctn, subm, ncand, rays, tmax, *,
-                any_hit: bool, interpret: bool, sub: int):
+                any_hit: bool, interpret: bool, sub: int,
+                bk: int = BK_DEFAULT):
     Gn, G, _ = rays.shape
     maxc = cand.shape[-1]
     smem = lambda shape: pl.BlockSpec(
@@ -315,7 +348,8 @@ def _run_kernel(feat, cand, coff, ccnt, ctn, subm, ncand, rays, tmax, *,
         jax.ShapeDtypeStruct((Gn, G, 1), jnp.int32),
     ]
     kern = functools.partial(_traverse_group_kernel, any_hit=any_hit,
-                             maxc=maxc, sub=sub)
+                             maxc=maxc, sub=sub, bk=bk,
+                             exact_div=interpret)
     return pl.pallas_call(
         kern,
         grid=(Gn,),
@@ -336,9 +370,10 @@ def _run_kernel(feat, cand, coff, ccnt, ctn, subm, ncand, rays, tmax, *,
         out_specs=[vmem((1, G, 1))] * 2,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, NR, NQP, NB * C), jnp.float32),
-            pltpu.VMEM((G, 1), jnp.float32),      # running best t
-            pltpu.VMEM((G, 1), jnp.int32),        # running best prim
+            pltpu.VMEM((2, NRS, NB * C), jnp.float32),
+            pltpu.VMEM((G, 1), jnp.float32),      # per-ray best t (cap)
+            pltpu.VMEM((G, NB * C), jnp.float32),  # per-lane best t
+            pltpu.VMEM((G, NB * C), jnp.int32),    # per-lane best prim
             pltpu.SemaphoreType.DMA((2, NB)),
         ],
         interpret=interpret,
@@ -349,6 +384,7 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
                              any_hit: bool = False, group: int = G_DEFAULT,
                              max_candidates: int = MAXC_DEFAULT,
                              subgroup: int = SUB_DEFAULT,
+                             break_every: int = BK_DEFAULT,
                              world_min=None, world_max=None,
                              fallback=None, interpret: bool = False,
                              tri_p0=None, tri_e1=None, tri_e2=None,
@@ -466,7 +502,7 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
     t, prim = _run_kernel(
         cp.feat, cand[:, None, :], coff[:, None, :], ccnt[:, None, :],
         ctn[:, None, :], subm[:, None, :], ncand[:, None, :], rays, tmax_b,
-        any_hit=any_hit, interpret=interpret, sub=sub)
+        any_hit=any_hit, interpret=interpret, sub=sub, bk=break_every)
     t = t.reshape(Np)
     prim = prim.reshape(Np)
     valid = prim >= 0

@@ -238,8 +238,8 @@ def _coherence_key(scene, o, d):
 def intersect(scene, o, d, t_max, any_hit: bool = False,
               use_pallas: bool = False, sort: bool = False,
               accel: str = "bvh", time=None, cluster_group: int = 64,
-              cluster_maxc: int = 192, cluster_sub: int = 8,
-              spheres: bool = True,
+              cluster_maxc: int = 192, cluster_sub: int = 64,
+              cluster_bk: int = 4, spheres: bool = True,
               presorted: bool = False) -> Hit:
     """Full scene intersection: aggregate triangles + analytic spheres.
 
@@ -279,7 +279,7 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
         hit = cluster_lib.intersect_clusters_fused(
             scene.clusters, o, d, t_max, any_hit=any_hit, fallback=_fb,
             group=cluster_group, max_candidates=cluster_maxc,
-            subgroup=cluster_sub,
+            subgroup=cluster_sub, break_every=cluster_bk,
             world_min=scene.world_min, world_max=scene.world_max,
             interpret=interp, tri_p0=scene.tri_p0, tri_e1=scene.tri_e1,
             tri_e2=scene.tri_e2, presorted=presorted)
@@ -312,15 +312,15 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
 def occluded(scene, o, d, t_max, use_pallas: bool = False,
              sort: bool = False, accel: str = "bvh",
              time=None, cluster_group: int = 64,
-             cluster_maxc: int = 192, cluster_sub: int = 8,
-             spheres: bool = True,
+             cluster_maxc: int = 192, cluster_sub: int = 64,
+             cluster_bk: int = 4, spheres: bool = True,
              presorted: bool = False) -> jnp.ndarray:
     """Shadow-ray IntersectP equivalent (ref: scene.cpp:56)."""
     return intersect(scene, o, d, t_max, any_hit=True,
                      use_pallas=use_pallas, sort=sort, accel=accel,
                      time=time, cluster_group=cluster_group,
                      cluster_maxc=cluster_maxc, cluster_sub=cluster_sub,
-                     spheres=spheres,
+                     cluster_bk=cluster_bk, spheres=spheres,
                      presorted=presorted).valid
 
 

@@ -37,8 +37,15 @@ def main():
     ap.add_argument("--scene", default=os.path.join(ROOT, "scenes",
                                                     "atrium.pbrt"))
     ap.add_argument("--ref-spp", type=int, default=512)
-    ap.add_argument("--out", default=os.path.join(ROOT, "QUALITY_r04.json"))
+    ap.add_argument("--out", default=os.path.join(ROOT, "QUALITY_r05.json"))
     ap.add_argument("--ref-cache", default="/tmp/atrium_quality_ref.npz")
+    ap.add_argument("--oracle-ref", default="/tmp/oracle/atrium_gt.exr",
+                    help="EXR rendered by the REFERENCE renderer (oracle "
+                         "build) to use as the PSNR ground truth — quality "
+                         "is then measured against the reference renderer "
+                         "itself, not against our own converged render "
+                         "(VERDICT r4 #2).  Falls back to a self-render "
+                         "when the file is missing.")
     args = ap.parse_args()
 
     import jax
@@ -55,10 +62,22 @@ def main():
     backend = jax.default_backend()
     print("backend:", backend, flush=True)
 
-    # ---- converged reference (cached across runs) ----
-    key_cfg = f"{args.scene}:{args.res}:{args.ref_spp}"
+    # ---- converged reference ----
+    # preferred: the ORACLE's render (the reference C++ renderer itself)
     ref = None
-    if os.path.exists(args.ref_cache):
+    ref_kind = "self"
+    if args.oracle_ref and os.path.exists(args.oracle_ref):
+        from pbrt_v3_iile_tpu.utils import image as imglib
+        ref = np.asarray(imglib.read_exr(args.oracle_ref),
+                         np.float32)[..., :3]
+        if ref.shape[0] != args.res:
+            k = ref.shape[0] // args.res
+            assert k * args.res == ref.shape[0], (ref.shape, args.res)
+            ref = ref.reshape(args.res, k, args.res, k, 3).mean((1, 3))
+        ref_kind = f"oracle:{os.path.basename(args.oracle_ref)}"
+        print(f"reference: {ref_kind} mean={ref.mean():.4f}", flush=True)
+    key_cfg = f"{args.scene}:{args.res}:{args.ref_spp}"
+    if ref is None and os.path.exists(args.ref_cache):
         z = np.load(args.ref_cache, allow_pickle=True)
         if str(z.get("cfg")) == key_cfg:
             ref = z["img"]
@@ -74,7 +93,7 @@ def main():
 
     results = dict(scene=os.path.basename(args.scene), res=args.res,
                    ref_spp=args.ref_spp, backend=backend,
-                   path=[], iile=[])
+                   ref_kind=ref_kind, path=[], iile=[])
 
     # ---- path curve ----
     for spp in (1, 2, 4, 8, 16, 32, 64):

@@ -30,11 +30,17 @@ def main():
     key = jax.random.PRNGKey(0)
     npass = int(os.environ.get("SWEEP_PASSES", "3"))
 
-    for sub in (int(x) for x in
-                os.environ.get("SWEEP_SUBS", "8,16,32,64").split(",")):
+    subs = [int(x) for x in
+            os.environ.get("SWEEP_SUBS", "8,16,32,64").split(",")]
+    bks = [int(x) for x in os.environ.get("SWEEP_BKS", "2").split(",")]
+    groups = [int(x) for x in
+              os.environ.get("SWEEP_GROUPS", "64").split(",")]
+    combos = [(g, sub, bk) for g in groups for sub in subs for bk in bks
+              if sub <= g]
+    for g, sub, bk in combos:
         cfg = base._replace(
             compact_schedule=(1.0, 1.0, 0.5, 0.25, 0.25, 0.125),
-            cluster_sub=sub)
+            cluster_group=g, cluster_sub=sub, cluster_bk=bk)
         run = renderlib.render_pass_fn(sd, cfg)
         if not cfg.staged:
             run = jax.jit(run, static_argnums=(4,))
@@ -49,7 +55,8 @@ def main():
             assert c == c
         rays = int(aux["rays"])
         best = min(times)
-        print(f"sub={sub:3d}: pass times {[round(t, 3) for t in times]} "
+        print(f"g={g:3d} sub={sub:3d} bk={bk}: pass times "
+              f"{[round(t, 3) for t in times]} "
               f"best {best:.3f}s = {rays / best / 1e6:.2f} Mrays/s",
               flush=True)
 

@@ -42,13 +42,13 @@ def test_pack_build_partitions_triangles():
         assert not covered[o:o + c].any()
         covered[o:o + c] = True
     assert covered.all()
-    # feature sanity: the den block of cluster 0 / slot 0 holds the
-    # geometric normal of the first BVH-ordered triangle
+    # feature sanity: the plane-normal rows (18:21) of cluster 0 /
+    # slot 0 hold the geometric normal of the first BVH-ordered triangle
     cp2, op0, oe1, oe2 = _build(np.random.default_rng(3), 700)
     n_true = np.cross(oe1[np.asarray(cp2.tri_off)[0]],
                       oe2[np.asarray(cp2.tri_off)[0]])
     np.testing.assert_allclose(
-        np.asarray(cp2.feat[0, 6:9, 3, 0]), n_true, rtol=1e-5)
+        np.asarray(cp2.feat[0, 18:21, 0]), n_true, rtol=1e-5)
 
 
 @pytest.mark.parametrize("T,N", [(300, 640), (2000, 1280)])
