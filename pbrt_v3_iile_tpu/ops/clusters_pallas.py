@@ -58,6 +58,10 @@ NRS = 24         # slim feature rows per cluster: 3x6 edge-side rows +
                  # round-3 (10, 8, C) quantity-band layout)
 NB = 4           # clusters tested per loop iteration (amortizes the
                  # DMA-latency + loop-overhead floor over 4x the work)
+NSLOTS = 3       # feature staging slots: bundles i+1 AND i+2 prefetch
+                 # while bundle i computes — a 2-deep pipeline hides the
+                 # HBM fetch latency that a double buffer could not
+                 # (slot compute is ~0.5 us, the fetch ~1 us)
 G_DEFAULT = 64   # rays per group (full-pass sweep optimum)
 MAXC_DEFAULT = 192
 SUB_DEFAULT = 64  # rays per subgroup for pl.when batch skipping.
@@ -136,7 +140,7 @@ def build_cluster_pack(flat, tri_p0, tri_e1, tri_e2,
         aabb_max=jnp.asarray(amax))
 
 
-def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
+def _traverse_group_kernel(cand_ref, cpk_ref, ctn_ref,
                            subm_ref, ncand_ref, rays_ref, tmax_ref,
                            feat_hbm, t_out, prim_out,
                            fbuf, bt_ref, btl_ref, bpl_ref, sems, *,
@@ -157,29 +161,31 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
     carries that subgroup's cull bit (subm_ref, bit j = some live ray
     of rows j*sub..(j+1)*sub-1 enters the cluster's AABB).
 
-    The running best hit is PER-LANE (btl_ref/bpl_ref, (G, NB*C)): a
-    bundle only does elementwise compare+selects, and the cross-lane
-    min reductions (the expensive part of the round-4 kernel's bundle
-    epilogue) run once every `bk` bundles, fused with the early-break
-    check, plus once at the end.  t = num/s uses the VPU's approximate
-    reciprocal + one Newton step instead of a full-precision divide
-    (exact_div=True restores the divide for interpret mode)."""
+    The bundle is evaluated one cluster SLOT at a time on (sub, C)
+    tiles: at sub=64 every temporary is 8 vregs, so the whole Pluecker
+    evaluation stays in vector registers (the bundle-wide (G, NB*C)
+    form spilled to VMEM — measured ~3x off VPU peak), and the slot's
+    triangle count/offset are SMEM scalars instead of broadcast select
+    chains.  The running best hit is PER-LANE (btl/bpl (G, C), lane =
+    triangle slot, min-accumulated across clusters): a slot eval does
+    elementwise compare+selects only, and the cross-lane min reductions
+    run once every `bk` bundles (fused with the early-break check) plus
+    once at the end.  t = num/s uses the VPU's approximate reciprocal +
+    one Newton step instead of a full-precision divide (exact_div=True
+    restores the divide for interpret mode)."""
     r = rays_ref[0]                  # (G, NF)
     tmax = tmax_ref[0]               # (G, 1)
     n = ncand_ref[0, 0, 0]           # candidates (kernel rounds up to NB)
     nb = (n + NB - 1) // NB          # bundles
     Gr = r.shape[0]
     nsg = Gr // sub
-    NBC = NB * C
-    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, NBC), 1)
-    lane_loc = lane & (C - 1)        # slot-local triangle lane
-    band = lane >> 7                 # which cluster slot (C = 128)
+    lane_loc = jax.lax.broadcasted_iota(jnp.int32, (sub, C), 1)
     big_t = jnp.float32(3.0e38)
 
     bt_ref[:] = jnp.where(tmax > 0.0, tmax,
                           -big_t)    # dead rays match nothing
-    btl_ref[:] = jnp.full((Gr, NBC), big_t)
-    bpl_ref[:] = jnp.full((Gr, NBC), 2 ** 30, jnp.int32)
+    btl_ref[:] = jnp.full((Gr, C), big_t)
+    bpl_ref[:] = jnp.full((Gr, C), 2 ** 30, jnp.int32)
 
     def dma(slot, j, i):
         # cand ids are padded/clamped by the wrapper, so fetching the
@@ -197,9 +203,10 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
         for j in range(NB):
             dma(slot, j, i).wait()
 
-    @pl.when(nb > 0)
-    def _():
-        start_bundle(0, 0)
+    for k in range(NSLOTS - 1):
+        @pl.when(nb > k)
+        def _(k=k):
+            start_bundle(k, k)
 
     def cond(st):
         i, done = st
@@ -207,11 +214,12 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
 
     def step(st):
         i, done = st
-        slot = jax.lax.rem(i, 2)
+        slot = jax.lax.rem(i, NSLOTS)
 
-        @pl.when(i + 1 < nb)
+        @pl.when(i + NSLOTS - 1 < nb)
         def _():
-            start_bundle(1 - slot, i + 1)
+            start_bundle(jax.lax.rem(i + NSLOTS - 1, NSLOTS),
+                         i + NSLOTS - 1)
 
         wait_bundle(slot, i)
 
@@ -223,34 +231,28 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
         # the ADVICE r2 precision concern).
         fb = fbuf[slot]                               # (NRS, NB*C)
 
-        # OR of the bundle's per-cluster subgroup bitmasks
-        bits = subm_ref[0, 0, i * NB]
-        for j in range(1, NB):
-            bits = bits | subm_ref[0, 0, i * NB + j]
+        # per-cluster (sub, C) tiles: temporaries are 8 vregs each at
+        # sub = 64, so the whole Pluecker evaluation lives in vector
+        # registers — the (sub, NB*C) bundle-wide form spilled to VMEM
+        # (measured ~3x off VPU peak, BENCH_NOTES round 5).  Per-slot
+        # triangle count/offset become SMEM scalars, replacing the
+        # round-4 per_slot select chains entirely.
+        for j in range(NB):
+            pk = cpk_ref[0, 0, i * NB + j]            # scalar i32
+            cnt_j = pk & 255
+            off_j = pk >> 8
+            fbj = fb[:, j * C:(j + 1) * C]
 
-        # per-slot triangle counts / prim offsets broadcast to lanes
-        # (row-independent — shared by every subgroup tile)
-        def per_slot(tab_ref, idx):
-            v = tab_ref[0, 0, idx * NB + NB - 1]
-            for j in range(NB - 2, -1, -1):
-                v = jnp.where(band <= j, tab_ref[0, 0, idx * NB + j], v)
-            return v
-
-        cnt_v = per_slot(ccnt_ref, i)                 # (sub, NB*C) i32
-        prim_v = per_slot(coff_ref, i) + lane_loc
-
-        for g in range(nsg):
-            @pl.when(((bits >> g) & 1) != 0)
-            def _(g=g):
+            def _slot(g, j=j, pk=pk, cnt_j=cnt_j, off_j=off_j, fbj=fbj):
                 lo = g * sub
                 rj = r[lo:lo + sub]                   # (sub, NF)
 
                 def contract(row0, rcols):
                     acc = None
                     for k, rc in enumerate(rcols):
-                        term = rj[:, rc:rc + 1] * fb[row0 + k][None, :]
+                        term = rj[:, rc:rc + 1] * fbj[row0 + k][None, :]
                         acc = term if acc is None else acc + term
-                    return acc                        # (sub, NB*C)
+                    return acc                        # (sub, C)
 
                 e6 = (0, 1, 2, 3, 4, 5)
                 w0 = contract(0, e6)
@@ -280,15 +282,23 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
 
                 best_t = bt_ref[lo:lo + sub]          # (sub, 1), <= bk
                                                       # bundles stale
-                btl = btl_ref[lo:lo + sub]            # (sub, NBC)
+                btl = btl_ref[lo:lo + sub]            # (sub, C)
                 ok = (same & (jnp.abs(s) > 1e-12)
-                      & (t > 1e-5) & (t < best_t) & (lane_loc < cnt_v)
+                      & (t > 1e-5) & (t < best_t) & (lane_loc < cnt_j)
                       & (t < btl))
                 # per-lane running best: elementwise selects only — the
                 # cross-lane reductions are deferred to the break check
                 btl_ref[lo:lo + sub] = jnp.where(ok, t, btl)
                 bpl_ref[lo:lo + sub] = jnp.where(
-                    ok, prim_v, bpl_ref[lo:lo + sub])
+                    ok, off_j + lane_loc,
+                    bpl_ref[lo:lo + sub])
+
+            for g in range(nsg):
+                if sub < Gr:
+                    pl.when((((subm_ref[0, 0, i * NB + j] >> g) & 1) != 0)
+                            )(functools.partial(_slot, g))
+                else:
+                    _slot(g)
 
         # exact early break every bk bundles (and on the last): bundle
         # i+1 (and all later — the list is tnear-sorted) cannot beat
@@ -312,12 +322,13 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
 
     i_fin, done_fin = jax.lax.while_loop(cond, step, (jnp.int32(0), False))
 
-    # drain: a break at iteration i-1 leaves the prefetched bundle for
-    # iteration i in flight — wait it so the semaphore state stays clean
-    # across grid steps
-    @pl.when(done_fin & (i_fin < nb))
-    def _():
-        wait_bundle(jax.lax.rem(i_fin, 2), i_fin)
+    # drain: an early break leaves up to NSLOTS-1 prefetched bundles in
+    # flight — wait them so the semaphore state stays clean across grid
+    # steps
+    for k in range(NSLOTS - 1):
+        @pl.when(done_fin & (i_fin + k < nb))
+        def _(k=k):
+            wait_bundle(jax.lax.rem(i_fin + k, NSLOTS), i_fin + k)
 
     # final cross-lane resolve, ONCE per group: best t = lane min;
     # winner prim = smallest prim id among lanes at the min (ties are
@@ -332,11 +343,12 @@ def _traverse_group_kernel(cand_ref, coff_ref, ccnt_ref, ctn_ref,
     prim_out[0] = jnp.where(hitm, prim, -1)
 
 
-def _run_kernel(feat, cand, coff, ccnt, ctn, subm, ncand, rays, tmax, *,
+def _run_kernel(feat, cand, cpk, ctn, subm, ncand, rays, tmax, *,
                 any_hit: bool, interpret: bool, sub: int,
                 bk: int = BK_DEFAULT):
     Gn, G, _ = rays.shape
     maxc = cand.shape[-1]
+    maxc_m = subm.shape[-1]          # 1 in dense (unmasked) mode
     smem = lambda shape: pl.BlockSpec(
         shape, lambda g: (g,) + (0,) * (len(shape) - 1),
         memory_space=pltpu.SMEM)
@@ -358,10 +370,10 @@ def _run_kernel(feat, cand, coff, ccnt, ctn, subm, ncand, rays, tmax, *,
             # requires the last two BLOCK dims to equal the array dims
             # (or be 8/128-divisible), so the grid axis leads
             smem((1, 1, maxc)),                   # cand ids
-            smem((1, 1, maxc)),                   # tri offsets
-            smem((1, 1, maxc)),                   # tri counts
+            smem((1, 1, maxc)),                   # packed off*256+cnt
             smem((1, 1, maxc)),                   # tnear (sorted)
-            smem((1, 1, maxc)),                   # subgroup bitmasks
+            smem((1, 1, maxc_m)),                 # subgroup bitmasks
+                                                  # ((Gn,1,1) dense)
             smem((1, 1, 1)),                      # n candidates
             vmem((1, G, NF)),                     # ray features
             vmem((1, G, 1)),                      # t_max
@@ -370,14 +382,14 @@ def _run_kernel(feat, cand, coff, ccnt, ctn, subm, ncand, rays, tmax, *,
         out_specs=[vmem((1, G, 1))] * 2,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((2, NRS, NB * C), jnp.float32),
+            pltpu.VMEM((NSLOTS, NRS, NB * C), jnp.float32),
             pltpu.VMEM((G, 1), jnp.float32),      # per-ray best t (cap)
-            pltpu.VMEM((G, NB * C), jnp.float32),  # per-lane best t
-            pltpu.VMEM((G, NB * C), jnp.int32),    # per-lane best prim
-            pltpu.SemaphoreType.DMA((2, NB)),
+            pltpu.VMEM((G, C), jnp.float32),      # per-lane best t
+            pltpu.VMEM((G, C), jnp.int32),        # per-lane best prim
+            pltpu.SemaphoreType.DMA((NSLOTS, NB)),
         ],
         interpret=interpret,
-    )(cand, coff, ccnt, ctn, subm, ncand, rays, tmax, feat)
+    )(cand, cpk, ctn, subm, ncand, rays, tmax, feat)
 
 
 def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
@@ -452,8 +464,13 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
     sub = subgroup
     if G % sub or sub < 8 or G // sub > 32:
         sub = G
-    mask, tnear, subbits = cluster_lib.per_ray_cull_bits(
-        os_, ds_, ts_, cp.aabb_min, cp.aabb_max, G, sub)  # (Gn,K)
+    masked = sub < G
+    if masked:
+        mask, tnear, subbits = cluster_lib.per_ray_cull_bits(
+            os_, ds_, ts_, cp.aabb_min, cp.aabb_max, G, sub)  # (Gn,K)
+    else:
+        mask, tnear = cluster_lib.per_ray_cull(
+            os_, ds_, ts_, cp.aabb_min, cp.aabb_max, G)
     n_cand = jnp.sum(mask, axis=1)
 
     # front-to-back candidate order by conservative entry distance —
@@ -466,16 +483,14 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
     order_key = jnp.where(mask, tnear, big_t)
     cid_row = jnp.arange(K, dtype=jnp.int32)
     packed_row = cp.tri_off * jnp.int32(256) + cp.tri_cnt   # cnt <= C < 256
-    ctn, cand, packed, subm = jax.lax.sort(
-        (order_key,
-         jnp.broadcast_to(cid_row, (Gn, K)),
-         jnp.broadcast_to(packed_row, (Gn, K)),
-         subbits),
-        dimension=1, num_keys=1)
-    ctn = ctn[:, :MAXC]
-    cand = cand[:, :MAXC]
-    packed = packed[:, :MAXC]
-    subm = subm[:, :MAXC]
+    ops = (order_key,
+           jnp.broadcast_to(cid_row, (Gn, K)),
+           jnp.broadcast_to(packed_row, (Gn, K)))
+    if masked:
+        ops = ops + (subbits,)
+    sorted_ops = jax.lax.sort(ops, dimension=1, num_keys=1)
+    ctn, cand, packed = (x[:, :MAXC] for x in sorted_ops[:3])
+    subm = sorted_ops[3][:, :MAXC] if masked else None
     padc = MAXC - ctn.shape[1]
     if padc > 0:  # K smaller than a whole number of bundles
         cand = jnp.concatenate(
@@ -484,12 +499,17 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
             [ctn, jnp.full((Gn, padc), big_t)], axis=1)
         packed = jnp.concatenate(
             [packed, jnp.zeros((Gn, padc), jnp.int32)], axis=1)
-        subm = jnp.concatenate(
-            [subm, jnp.zeros((Gn, padc), jnp.int32)], axis=1)
+        if masked:
+            subm = jnp.concatenate(
+                [subm, jnp.zeros((Gn, padc), jnp.int32)], axis=1)
     cand_valid = ctn < big_t
-    coff = packed // 256
-    ccnt = jnp.where(cand_valid, packed % 256, 0)
-    subm = jnp.where(cand_valid, subm, 0)
+    # zero the count byte of invalid slots (the kernel masks compute on
+    # cnt) while keeping the packed table as ONE SMEM load
+    packed = jnp.where(cand_valid, packed, 0)
+    if masked:
+        subm = jnp.where(cand_valid, subm, 0)
+    else:
+        subm = jnp.zeros((Gn, 1), jnp.int32)   # (Gn,1) dummy, unread
     ncand = jnp.minimum(n_cand, MAXC).astype(jnp.int32)[:, None]
 
     r6, r8 = cluster_lib.ray_features(os_, ds_)          # (Np,6),(Np,8)
@@ -500,7 +520,7 @@ def intersect_clusters_fused(cp: ClusterPack, o, d, t_max, *,
     tmax_b = ts_.reshape(Gn, G, 1)
 
     t, prim = _run_kernel(
-        cp.feat, cand[:, None, :], coff[:, None, :], ccnt[:, None, :],
+        cp.feat, cand[:, None, :], packed[:, None, :],
         ctn[:, None, :], subm[:, None, :], ncand[:, None, :], rays, tmax_b,
         any_hit=any_hit, interpret=interpret, sub=sub, bk=break_every)
     t = t.reshape(Np)

@@ -35,12 +35,19 @@ def main():
     bks = [int(x) for x in os.environ.get("SWEEP_BKS", "2").split(",")]
     groups = [int(x) for x in
               os.environ.get("SWEEP_GROUPS", "64").split(",")]
+    maxc_env = os.environ.get("SWEEP_MAXC")  # e.g. "64:192,128:256"
+    maxc_of = {64: 192}
+    if maxc_env:
+        for kv in maxc_env.split(","):
+            k, v = kv.split(":")
+            maxc_of[int(k)] = int(v)
     combos = [(g, sub, bk) for g in groups for sub in subs for bk in bks
               if sub <= g]
     for g, sub, bk in combos:
         cfg = base._replace(
             compact_schedule=(1.0, 1.0, 0.5, 0.25, 0.25, 0.125),
-            cluster_group=g, cluster_sub=sub, cluster_bk=bk)
+            cluster_group=g, cluster_sub=sub, cluster_bk=bk,
+            cluster_maxc=maxc_of.get(g, max(192, 2 * g)))
         run = renderlib.render_pass_fn(sd, cfg)
         if not cfg.staged:
             run = jax.jit(run, static_argnums=(4,))
@@ -55,7 +62,8 @@ def main():
             assert c == c
         rays = int(aux["rays"])
         best = min(times)
-        print(f"g={g:3d} sub={sub:3d} bk={bk}: pass times "
+        print(f"g={g:3d} sub={sub:3d} bk={bk} maxc={cfg.cluster_maxc}: "
+              f"pass times "
               f"{[round(t, 3) for t in times]} "
               f"best {best:.3f}s = {rays / best / 1e6:.2f} Mrays/s",
               flush=True)
