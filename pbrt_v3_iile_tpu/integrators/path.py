@@ -505,7 +505,12 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
         # light distribution (power or uniform)
         Ls = scene.light_kind.shape[0]
         live_l = jnp.arange(Ls) < scene.n_lights
-        if cfg.spatial_lights:
+        if cfg.nee_all:
+            # all-lights strategy (directlighting "all"): every light
+            # gets its own NEE sample, so the light-strategy density for
+            # a direction is the bare per-light pdf — selection weight 1
+            inf_sel_pdf = jnp.ones(())
+        elif cfg.spatial_lights:
             # previous path vertex = this segment's origin
             inf_sel_pdf = lightlib.infinite_select_pdf_spatial(scene, o)
         else:
@@ -525,7 +530,8 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
         lid = jnp.maximum(it.light, 0)
         le = lightlib.area_light_le(scene, lid, it.ng, it.wo)
         hit_cos = jnp.abs(vm.dot(it.ng, d))
-        hit_sel_pdf = (lightlib.light_select_pdf_spatial(scene, o, lid)
+        hit_sel_pdf = (jnp.ones_like(hit_cos) if cfg.nee_all
+                       else lightlib.light_select_pdf_spatial(scene, o, lid)
                        if cfg.spatial_lights
                        else jnp.take(scene.light_pdf, lid))
         area_pdf = lightlib.pdf_li(scene, lid, o, d, hit.t,
@@ -650,8 +656,19 @@ def _bounce(scene, carry, bounce, key, cfg: PathConfig, collect_aux: bool,
                                      spheres=cfg.has_spheres,
                                      presorted=presorted)
             vis = can_nee & (~occ)
+            # MIS against the BSDF-sampling half: the light-strategy
+            # density for a direction is sel_pdf * ls.pdf (one-sample
+            # mixture over the light pick), and the escape/emissive-hit
+            # weights on the other side use exactly that product — using
+            # bare ls.pdf here made the two weights sum past 1 and
+            # overcounted sky light ~15% on multi-light interiors
+            # (found by the round-5 oracle single-light bisection;
+            # ref: integrator.cpp:85 UniformSampleOneLight pairs the
+            # BSDF half per-light instead, dividing both by the same
+            # selection pdf — equivalent accounting).
             w_l = jnp.where(ls.is_delta, 1.0,
-                            smp.power_heuristic(1.0, ls.pdf, 1.0, scat_pdf))
+                            smp.power_heuristic(1.0, ls.pdf * sel_pdf,
+                                                1.0, scat_pdf))
             li = ls.li
             if cfg.volumetric:
                 # approximate shadow transmittance through the own medium

@@ -358,6 +358,16 @@ def evaluate(p: BsdfParams, wo, wi, enable_hair: bool = True):
     is_metal = p.kind == MAT_METAL
     is_substrate = p.kind == MAT_SUBSTRATE
     fr_d = fr_dielectric(vm.dot(wi, wh), jnp.ones_like(p.eta), p.eta)[..., None]
+    # pbrt-v3's plastic builds its microfacet Fresnel with the indices
+    # REVERSED — FresnelDielectric(1.5f, 1.f), ref: materials/plastic.cpp:59
+    # — so rays "enter" from the denser side: total internal reflection
+    # beyond ~42 deg and a far brighter glossy lobe than the (1 -> eta)
+    # form every other material uses.  Round-5 oracle parity traced a
+    # -12% killeroo statue deficit and a -25% atrium rug/floor deficit to
+    # exactly this (BENCH_NOTES round 5); parity means reproducing it.
+    fr_pl = fr_dielectric(vm.dot(wi, wh), p.eta,
+                          jnp.ones_like(p.eta))[..., None]
+    fr_d = jnp.where((p.kind == MAT_PLASTIC)[..., None], fr_pl, fr_d)
     fr_c = fr_conductor(vm.dot(wi, wh), p.metal_eta, p.metal_k)
     fr = jnp.where(is_metal[..., None], fr_c, fr_d)
     spec_coef = jnp.where(is_metal[..., None], jnp.ones_like(p.ks), p.ks)
