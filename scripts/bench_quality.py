@@ -96,6 +96,13 @@ def main():
                    ref_kind=ref_kind, path=[], iile=[])
 
     # ---- path curve ----
+    # pre-warm the path compile OUTSIDE the timed region (same rule as
+    # the IILE warmup below; the spp=1 entry otherwise records minutes
+    # of XLA compile as render time)
+    sd = load_sd()
+    sd.integrator.kind = "path"
+    renderlib.render(sd, spp=1, compact=True, max_wave=1 << 19)
+    print("path warmup done", flush=True)
     for spp in (1, 2, 4, 8, 16, 32, 64):
         sd = load_sd()
         sd.integrator.kind = "path"
