@@ -95,11 +95,22 @@ def _pixel_to_dir(x, y, right, up, look, hemi_size):
 # per-task indirect estimation
 # ---------------------------------------------------------------------------
 
+_ANCHOR_CACHE = {}
+_DFN_CACHE = {}
+
+
 def _anchor_fns(sd, hemi_size, net):
     """Cached jitted sub-stages shared by all tasks (shapes vary only in
-    the pixel-chunk dimension, handled by jit's shape cache)."""
+    the pixel-chunk dimension, handled by jit's shape cache).  The cache
+    is PROCESS-LEVEL, keyed on (film dims, hemi, camera kind, net): a
+    fresh render_iile call with the same configuration reuses the jitted
+    closures instead of recompiling the whole probe pipeline (observed
+    ~10 min per 512^2 sweep entry without it)."""
     W, H = sd.film.x_resolution, sd.film.y_resolution
     cam_kind = camlib.KIND.get(sd.camera.kind, 0)
+    ckey = (W, H, hemi_size, cam_kind, net)
+    if ckey in _ANCHOR_CACHE:
+        return _ANCHOR_CACHE[ckey]
 
     @jax.jit
     def probe_rays(cam, key, coords):
@@ -122,7 +133,9 @@ def _anchor_fns(sd, hemi_size, net):
         pf = jnp.stack([fx, fy], axis=-1).astype(jnp.float32) + jit_f
         return camlib.generate_rays(cam, pf, kind=cam_kind)
 
-    return dict(probe_rays=probe_rays, cnn=cnn, pixel_rays=pixel_rays)
+    fns = dict(probe_rays=probe_rays, cnn=cnn, pixel_rays=pixel_rays)
+    _ANCHOR_CACHE[ckey] = fns
+    return fns
 
 
 @functools.partial(jax.jit, static_argnames=("hemi_size",))
@@ -238,6 +251,31 @@ def _mis_stage(scene, cam, R, probe_valid, cam_look, cam_orig, right, up,
 PIXEL_CHUNK = 65536
 
 
+@functools.lru_cache(maxsize=16)
+def _ff_fn(use_pallas: bool, accel: str):
+    """Cached jitted specular-chase wrapper (scan mode): calling
+    find_first_nonspecular eagerly re-lowered its 24-step lax.scan on
+    EVERY invocation — on the remote compile service that is minutes
+    per task/chunk (the round-4 scan-mode regression this fixes)."""
+    @jax.jit
+    def f(scene, o, d, key):
+        return probelib.find_first_nonspecular(
+            scene, o, d, key, use_pallas=use_pallas, staged=False,
+            accel=accel)
+    return f
+
+
+@functools.lru_cache(maxsize=16)
+def _probes_fn(hemi_size: int, use_pallas: bool, accel: str):
+    """Cached jitted probe G-buffer render (same reason as _ff_fn)."""
+    @jax.jit
+    def f(scene, positions, normals, key):
+        return probelib.render_probes(
+            scene, positions, normals, key, hemi_size,
+            use_pallas=use_pallas, staged=False, accel=accel)
+    return f
+
+
 def run_task(scene, cam, sd, net, net_vars, fns, key, task,
              hemi_size: int = 32, use_pallas: bool = False,
              staged: bool = False, accel: str = "bvh"):
@@ -253,15 +291,22 @@ def run_task(scene, cam, sd, net, net_vars, fns, key, task,
     coords = task_probe_coords(jnp.int32(task.x0), jnp.int32(task.y0),
                                ts, W, H)
     o, d = fns["probe_rays"](cam, key, coords)
-    fi = probelib.find_first_nonspecular(scene, o, d, key,
-                                         use_pallas=use_pallas,
-                                         staged=staged, accel=accel)
+    if staged:
+        fi = probelib.find_first_nonspecular(scene, o, d, key,
+                                             use_pallas=use_pallas,
+                                             staged=True, accel=accel)
+    else:
+        fi = _ff_fn(use_pallas, accel)(scene, o, d, key)
     probe_valid = fi["found"] & (vm.luminance(fi["beta"]) > 0.0)
 
     # ---- probe render + CNN ----
-    gb = probelib.render_probes(scene, fi["p"], fi["n"], key,
-                                hemi_size, use_pallas=use_pallas,
-                                staged=staged, accel=accel)
+    if staged:
+        gb = probelib.render_probes(scene, fi["p"], fi["n"], key,
+                                    hemi_size, use_pallas=use_pallas,
+                                    staged=True, accel=accel)
+    else:
+        gb = _probes_fn(hemi_size, use_pallas, accel)(
+            scene, fi["p"], fi["n"], key)
     R = fns["cnn"](net_vars, gb.intensity, gb.normals, gb.distance,
                    probe_valid)
 
@@ -291,9 +336,13 @@ def run_task(scene, cam, sd, net, net_vars, fns, key, task,
         in_img = (fx < x1) & (fy < y1) & (li < npix)
         fo, fd = fns["pixel_rays"](cam, jax.random.fold_in(key, 7 + c0),
                                    fx, fy)
-        ff = probelib.find_first_nonspecular(
-            scene, fo, fd, jax.random.fold_in(key, 8 + c0),
-            use_pallas=use_pallas, staged=staged, accel=accel)
+        if staged:
+            ff = probelib.find_first_nonspecular(
+                scene, fo, fd, jax.random.fold_in(key, 8 + c0),
+                use_pallas=use_pallas, staged=True, accel=accel)
+        else:
+            ff = _ff_fn(use_pallas, accel)(
+                scene, fo, fd, jax.random.fold_in(key, 8 + c0))
         gi = jnp.clip(lx // ts, 0, G - 2)
         gj = jnp.clip(ly // ts, 0, G - 2)
         n_ids = jnp.stack([
@@ -397,8 +446,15 @@ def render_iile(sd, net_vars=None, seed: int = 0,
         # the wave aggressively (unbiased budget RR, path.py)
         compact_schedule=(1.0, 0.5, 0.25, 0.25) if accel == "clusters"
         else ())
-    dfn_raw = renderlib.render_pass_fn(sd, dcfg)
-    dfn = dfn_raw if staged else jax.jit(dfn_raw, static_argnums=(4,))
+    # direct-pass fn cache: render_pass_fn + jit rebuilt per call
+    # otherwise recompile the whole compacted pipeline every sweep entry
+    dkey = (W, H, getattr(sd.sampler, "kind", "random"),
+            sd.film.filter_name, dcfg)
+    dfn = _DFN_CACHE.get(dkey)
+    if dfn is None:
+        dfn_raw = renderlib.render_pass_fn(sd, dcfg)
+        dfn = dfn_raw if staged else jax.jit(dfn_raw, static_argnums=(4,))
+        _DFN_CACHE[dkey] = dfn
     dir_film = filmlib.new_film(H, W)
     add = jax.jit(filmlib.add_sample_image)
     for p in range(direct_samples):

@@ -95,22 +95,36 @@ def main():
                    ref_spp=args.ref_spp, backend=backend,
                    ref_kind=ref_kind, path=[], iile=[])
 
-    # ---- path curve ----
-    # pre-warm the path compile OUTSIDE the timed region (same rule as
-    # the IILE warmup below; the spp=1 entry otherwise records minutes
-    # of XLA compile as render time)
+    # ---- path curve: ONE compiled pass fn, cumulative passes (a real
+    # progressive render) — rebuilding render() per spp recompiled the
+    # whole pipeline every entry (~4 min each at 512^2), polluting the
+    # equal-time story
     sd = load_sd()
     sd.integrator.kind = "path"
-    renderlib.render(sd, spp=1, compact=True, max_wave=1 << 19)
+    scene, cam = renderlib.build(sd)
+    pcfg = renderlib.make_integrator_config(sd)
+    if pcfg.accel == "clusters" and not pcfg.staged:
+        pcfg = pcfg._replace(
+            compact_schedule=(1.0, 1.0, 0.5, 0.25, 0.25, 0.125))
+    prun = renderlib.render_pass_fn(sd, pcfg)
+    if not pcfg.staged:
+        prun = jax.jit(prun, static_argnums=(4,))
+    pkey = jax.random.PRNGKey(11)
+    L0, _, _ = prun(scene, cam, pkey, 0, 0)   # compile + warm
+    L0.block_until_ready()
     print("path warmup done", flush=True)
+    acc = None
+    done_p = 0
+    t_accum = 0.0
     for spp in (1, 2, 4, 8, 16, 32, 64):
-        sd = load_sd()
-        sd.integrator.kind = "path"
         t0 = time.time()
-        img, st = renderlib.render(sd, spp=spp, compact=True,
-                                   max_wave=1 << 19)
-        dt = time.time() - t0
-        entry = dict(spp=spp, seconds=round(dt, 2),
+        while done_p < spp:
+            Lp, _, _ = prun(scene, cam, pkey, done_p + 1, 0)
+            acc = Lp if acc is None else acc + Lp
+            done_p += 1
+        img = np.asarray(acc) / done_p
+        t_accum += time.time() - t0
+        entry = dict(spp=spp, seconds=round(t_accum, 2),
                      psnr=round(psnr(img, ref), 2),
                      ssim=round(float(metlib.ssim(img, ref)), 4))
         results["path"].append(entry)
@@ -119,20 +133,33 @@ def main():
     # ---- IILE curve ----
     # pre-warm compiles OUTSIDE the timed region (the round-3 sweep's
     # tasks=1 entry recorded 214 s of compile time; VERDICT r3 weak #3)
+    # constant direct_samples across the sweep (the reference's chart
+    # methodology sweeps TASKS at fixed --iileDirect, and a varying
+    # direct count recompiled the direct pass for every entry)
+    DIRECT = 4
     sd = load_sd()
     sd.integrator.kind = "iispt"
-    iisptlib.render_iile(sd, indirect_tasks=1, direct_samples=1,
+    iisptlib.render_iile(sd, indirect_tasks=1, direct_samples=DIRECT,
                          radius_start=max(16.0, args.res / 5.0))
     print("iile warmup done", flush=True)
+    # warm EVERY task count once before timing: each count introduces
+    # fresh tile sizes whose pixel/probe stages compile on first sight
+    for tasks in (1, 2, 4, 8, 16, 32, 48):
+        sd = load_sd()
+        sd.integrator.kind = "iispt"
+        iisptlib.render_iile(sd, indirect_tasks=tasks,
+                             direct_samples=1,
+                             radius_start=max(16.0, args.res / 5.0))
+        print(f"warm tasks={tasks} done", flush=True)
     for tasks in (1, 2, 4, 8, 16, 32, 48):
         sd = load_sd()
         sd.integrator.kind = "iispt"
         t0 = time.time()
         comb, direct, indirect, st = iisptlib.render_iile(
-            sd, indirect_tasks=tasks, direct_samples=2 * tasks,
+            sd, indirect_tasks=tasks, direct_samples=DIRECT,
             radius_start=max(16.0, args.res / 5.0))
         dt = time.time() - t0
-        entry = dict(tasks=tasks, direct=2 * tasks, seconds=round(dt, 2),
+        entry = dict(tasks=tasks, direct=DIRECT, seconds=round(dt, 2),
                      psnr=round(psnr(comb, ref), 2),
                      ssim=round(float(metlib.ssim(comb, ref)), 4))
         results["iile"].append(entry)
@@ -145,10 +172,13 @@ def main():
         best_path = max((p for p in results["path"]
                          if p["seconds"] <= t * 1.05),
                         key=lambda p: p["psnr"], default=None)
+        # no path point fits the budget -> path produces NOTHING in this
+        # time; any finite IILE image wins the equal-time comparison
+        wins = (e["psnr"] > best_path["psnr"]) if best_path             else (e["psnr"] > 0)
         summary.append(dict(
             seconds=t, iile_psnr=e["psnr"],
             path_psnr_at_time=(best_path or {}).get("psnr"),
-            iile_wins=bool(best_path and e["psnr"] > best_path["psnr"])))
+            iile_wins=bool(wins)))
     results["equal_time"] = summary
 
     with open(args.out, "w") as f:
