@@ -266,7 +266,15 @@ def intersect(scene, o, d, t_max, any_hit: bool = False,
         from . import clusters_pallas as cluster_lib
         interp = _jax.default_backend() == "cpu"
 
-        if interp:
+        # the packet kernel keeps per-grid-step scratch proportional to
+        # its tile depth; above ~350k triangles its compile exceeds the
+        # scoped-VMEM budget (hit by the 480k-tri hair stress scene), so
+        # huge scenes fall back to the XLA walker instead — the fallback
+        # only ever DISPATCHES for overflow groups (lax.cond), so the
+        # walker's cost is paid exactly when a group exceeds
+        # cluster_maxc, not per pass
+        big_t = scene.tri_p0.shape[0] > 350_000
+        if interp or big_t:
             def _fb(os_, ds_, ts_):
                 return intersect_bvh(scene, os_, ds_, ts_, any_hit=any_hit)
         else:
